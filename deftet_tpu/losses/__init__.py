@@ -1,0 +1,31 @@
+"""Geometric losses over the deformable tet grid."""
+
+from .geometry import (
+    tet_volumes,
+    volume_variance,
+    amips_energy,
+    edge_length,
+    laplacian_loss,
+    delta_loss,
+)
+from .surface import (
+    boundary_faces_from_occupancy,
+    sample_surface_points,
+    surface_align_losses,
+    normal_smoothness_loss,
+    occupancy_bce,
+)
+
+__all__ = [
+    "tet_volumes",
+    "volume_variance",
+    "amips_energy",
+    "edge_length",
+    "laplacian_loss",
+    "delta_loss",
+    "boundary_faces_from_occupancy",
+    "sample_surface_points",
+    "surface_align_losses",
+    "normal_smoothness_loss",
+    "occupancy_bce",
+]

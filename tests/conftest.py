@@ -16,4 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin in this image ignores JAX_PLATFORMS; force via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,253 @@
+"""Tests for the geometric + surface losses against numpy oracles that
+re-derive the reference formulas (layers/DefTet/deftet.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deftet_tpu.losses import (
+    amips_energy,
+    boundary_faces_from_occupancy,
+    delta_loss,
+    edge_length,
+    laplacian_loss,
+    normal_smoothness_loss,
+    occupancy_bce,
+    sample_surface_points,
+    surface_align_losses,
+    tet_volumes,
+    volume_variance,
+)
+from deftet_tpu.ops.geometry import tet_rest_inverse
+from deftet_tpu.tetgrid import build_tet_grid, build_topology
+
+
+def _np_volume(tet):
+    a = tet[..., 0, :] - tet[..., 3, :]
+    b = tet[..., 1, :] - tet[..., 3, :]
+    c = tet[..., 2, :] - tet[..., 3, :]
+    return -np.einsum("...i,...i->...", a, np.cross(b, c)) / 6.0
+
+
+def test_tet_volumes_and_variance():
+    rng = np.random.default_rng(0)
+    tet = rng.normal(size=(2, 9, 4, 3)).astype(np.float32)
+    v = np.asarray(tet_volumes(jnp.asarray(tet)))
+    np.testing.assert_allclose(v, _np_volume(tet), rtol=1e-4, atol=1e-6)
+    var = np.asarray(volume_variance(jnp.asarray(tet), pow=4))
+    ref = ((_np_volume(tet) - _np_volume(tet).mean(-1, keepdims=True)) ** 4)
+    np.testing.assert_allclose(var, ref.sum(-1), rtol=1e-3, atol=1e-6)
+
+
+def test_amips_rest_pose_energy():
+    """At the rest pose J = I: trace = 3, det = 1 -> energy ~ 3."""
+    grid = build_tet_grid(2)
+    verts = jnp.asarray(grid.centered_vertices().astype(np.float32))
+    tets = jnp.asarray(grid.tets)
+    inv = tet_rest_inverse(verts, tets)
+    tet_pos = verts[tets][None]
+    e = np.asarray(amips_energy(tet_pos, inv))
+    np.testing.assert_allclose(e, [3.0], rtol=1e-4)
+    # deformation strictly increases the energy
+    squished = tet_pos * jnp.asarray([1.0, 1.0, 0.5])
+    e2 = np.asarray(amips_energy(squished, inv))
+    assert e2[0] > e[0]
+
+
+def test_amips_inverted_tets_masked():
+    grid = build_tet_grid(1)
+    verts = jnp.asarray(grid.centered_vertices().astype(np.float32))
+    tets = jnp.asarray(grid.tets)
+    inv = tet_rest_inverse(verts, tets)
+    mirrored = verts[tets][None] * jnp.asarray([-1.0, 1.0, 1.0])
+    e = np.asarray(amips_energy(mirrored, inv))
+    np.testing.assert_allclose(e, [0.0], atol=1e-6)  # det<0 gated off
+
+
+def test_edge_length():
+    rng = np.random.default_rng(1)
+    tet = rng.normal(size=(1, 5, 4, 3)).astype(np.float64)
+    got = np.asarray(edge_length(jnp.asarray(tet.astype(np.float32)), pow=4))
+    s = 20.0
+    A, B, C, D = (tet[..., i, :] * s for i in range(4))
+    ref = sum(
+        ((x - y) ** 4).sum()
+        for x, y in [(A, D), (B, D), (C, D), (A, B), (A, C), (B, C)]
+    ) / (6 * 5)
+    np.testing.assert_allclose(got, [ref], rtol=1e-4)
+
+
+def test_laplacian_loss_vs_dense():
+    grid = build_tet_grid(2)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    rng = np.random.default_rng(2)
+    off = rng.normal(size=(2, grid.n_vertices, 3)).astype(np.float32)
+    got = np.asarray(
+        laplacian_loss(
+            jnp.asarray(off),
+            jnp.asarray(topo.vert_adj_idx),
+            jnp.asarray(topo.vert_adj_mask),
+            jnp.asarray(topo.vert_degree),
+        )
+    )
+    dense = np.zeros((grid.n_vertices, grid.n_vertices))
+    for i in range(grid.n_vertices):
+        for m in range(topo.vert_adj_idx.shape[1]):
+            if topo.vert_adj_mask[i, m]:
+                dense[i, topo.vert_adj_idx[i, m]] = 1.0
+    dense /= dense.sum(1, keepdims=True)
+    ref = (((dense @ off) - off) ** 2).sum((-1, -2))
+    np.testing.assert_allclose(got, ref, rtol=1e-3)
+
+
+def test_boundary_extraction_mechanics():
+    grid = build_tet_grid(2)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    rng = np.random.default_rng(3)
+    occ = (rng.uniform(size=(2, grid.n_tets)) > 0.5).astype(np.float32)
+    faces, mask = boundary_faces_from_occupancy(
+        jnp.asarray(occ),
+        jnp.asarray(topo.face_fx3),
+        jnp.asarray(topo.face_tet_fx2),
+    )
+    faces, mask = np.asarray(faces), np.asarray(mask)
+    for bi in range(2):
+        for fi in range(topo.face_fx3.shape[0]):
+            t0, t1 = topo.face_tet_fx2[fi]
+            want_boundary = occ[bi, t0] + occ[bi, t1] == 1.0
+            assert mask[bi, fi] == float(want_boundary)
+            if occ[bi, t0] == 1.0:
+                np.testing.assert_array_equal(
+                    faces[bi, fi], topo.face_fx3[fi][::-1]
+                )
+            else:
+                np.testing.assert_array_equal(faces[bi, fi], topo.face_fx3[fi])
+
+
+def test_sample_surface_points_on_triangle():
+    tri = jnp.asarray(
+        np.array([[[[0, 0, 0], [1, 0, 0], [0, 1, 0]]]], np.float32)
+    )
+    pts = np.asarray(
+        sample_surface_points(jax.random.PRNGKey(0), tri, per_face=500)
+    )[0, 0]
+    assert (pts[:, 2] == 0).all()
+    assert (pts[:, 0] >= 0).all() and (pts[:, 1] >= 0).all()
+    assert (pts[:, 0] + pts[:, 1] <= 1 + 1e-6).all()
+    # sqrt-uv sampling is uniform: centroid ~ (1/3, 1/3)
+    np.testing.assert_allclose(pts.mean(0)[:2], [1 / 3, 1 / 3], atol=0.03)
+
+
+def test_normal_smoothness_flat_vs_bent():
+    # two coplanar triangles sharing edge (1,2): loss 0
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [1, 3, 2]])
+    edge_idx = np.array([[0, 1]])  # both faces share an edge
+    edge_mask = np.ones((1, 2), np.float32)
+    fpos = verts[faces][None]
+    loss_flat = np.asarray(
+        normal_smoothness_loss(
+            jnp.asarray(fpos),
+            jnp.ones((1, 2), jnp.float32),
+            jnp.asarray(edge_idx),
+            jnp.asarray(edge_mask),
+        )
+    )
+    np.testing.assert_allclose(loss_flat, [0.0], atol=1e-6)
+    # bend the second face up: loss > 0
+    verts2 = verts.copy()
+    verts2[3, 2] = 1.0
+    fpos2 = verts2[faces][None]
+    loss_bent = np.asarray(
+        normal_smoothness_loss(
+            jnp.asarray(fpos2),
+            jnp.ones((1, 2), jnp.float32),
+            jnp.asarray(edge_idx),
+            jnp.asarray(edge_mask),
+        )
+    )
+    assert loss_bent[0] > 0.1
+    # masking one face out -> no pairs -> 0
+    loss_masked = np.asarray(
+        normal_smoothness_loss(
+            jnp.asarray(fpos2),
+            jnp.asarray([[1.0, 0.0]]),
+            jnp.asarray(edge_idx),
+            jnp.asarray(edge_mask),
+        )
+    )
+    np.testing.assert_allclose(loss_masked, [0.0], atol=1e-6)
+
+
+def test_surface_align_losses_shapes_and_no_boundary():
+    grid = build_tet_grid(2)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    verts = jnp.asarray(grid.centered_vertices().astype(np.float32))[None]
+    verts = jnp.tile(verts, (2, 1, 1))
+    occ = np.zeros((2, grid.n_tets), np.float32)
+    occ[0, :8] = 1.0  # sample 0 has a boundary; sample 1 none
+    faces, mask = boundary_faces_from_occupancy(
+        jnp.asarray(occ),
+        jnp.asarray(topo.face_fx3),
+        jnp.asarray(topo.face_tet_fx2),
+    )
+    gt = jnp.asarray(
+        np.random.default_rng(4).uniform(-0.5, 0.5, (2, 64, 3)).astype(
+            np.float32
+        )
+    )
+    ch, an, nm = surface_align_losses(
+        jax.random.PRNGKey(0),
+        verts,
+        faces,
+        mask,
+        gt,
+        jnp.asarray(topo.edge_face_idx),
+        jnp.asarray(topo.edge_face_mask),
+        per_face_samples=4,
+        nn_chunk=64,
+        tri_chunk=64,
+    )
+    ch, an, nm = np.asarray(ch), np.asarray(an), np.asarray(nm)
+    assert np.isfinite([ch, an, nm]).all()
+    # no-boundary sample falls back to ones (deftet.py:162-166)
+    np.testing.assert_allclose([ch[1], an[1], nm[1]], 1.0)
+    assert ch[0] != 1.0
+
+
+def test_occupancy_bce_matches_manual():
+    logits = jnp.asarray([[0.3, -1.2, 2.0]])
+    target = jnp.asarray([[1.0, 0.0, 1.0]])
+    got = float(occupancy_bce(logits, target))
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    ref = -(np.asarray(target) * np.log(p) + (1 - target) * np.log(1 - p))
+    np.testing.assert_allclose(got, ref.mean(), rtol=1e-5)
+
+
+def test_delta_loss():
+    x = jnp.asarray(np.ones((2, 5, 3), np.float32) * -2.0)
+    np.testing.assert_allclose(np.asarray(delta_loss(x)), [2.0, 2.0])
+
+
+def test_amips_finite_difference_grad():
+    grid = build_tet_grid(1)
+    verts = grid.centered_vertices().astype(np.float32)
+    tets = jnp.asarray(grid.tets)
+    inv = tet_rest_inverse(jnp.asarray(verts), tets)
+    rng = np.random.default_rng(5)
+    pert = verts + 0.02 * rng.normal(size=verts.shape).astype(np.float32)
+
+    def loss(v):
+        return amips_energy(v[tets][None], inv)[0]
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(pert)))
+    eps = 1e-3
+    for (i, c) in [(3, 0), (7, 2), (0, 1)]:
+        vp = pert.copy()
+        vp[i, c] += eps
+        vm = pert.copy()
+        vm[i, c] -= eps
+        fd = (loss(jnp.asarray(vp)) - loss(jnp.asarray(vm))) / (2 * eps)
+        np.testing.assert_allclose(g[i, c], fd, rtol=2e-2, atol=1e-3)
