@@ -1,0 +1,137 @@
+"""DeformableTetNetwork: encoder(s) + position decoder + occupancy decoder.
+
+Re-architecture of layers/pc_model.py:19-366.  Differences from the
+reference are layout-only (channels-last, padded-gather adjacency); the
+computational contract is preserved:
+
+  * encode        — PVCNN voxel-feature pyramid per encoder; the paper
+                    config uses two independent encoders (pos / occ)
+                    (pc_model.py:54-65, use_two_encoder).
+  * sample_grid_features — trilinear feature probe of every pyramid level at
+                    p + 0.5 scaled to each resolution (sample_f, :182-194).
+  * decode_pos    — features ++ xyz -> GCNMLPDecoder -> x0.1 ->
+                    optional sigmoid squash to (-0.1, 0.1) (scale_pos) ->
+                    boundary mask -> p + delta (:196-256).
+  * decode_occ    — tet-center features -> MLP -> Bernoulli logits
+                    (:269-314).  Center subsampling is the caller's job
+                    (train step passes pre-gathered centers), keeping this
+                    module shape-static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.voxelize import trilinear_devoxelize
+from .gcn import GCNMLPDecoder, VertexAdjacency
+from .mlp import MLPDecoder
+from .pvcnn import DEFAULT_BLOCKS, PVCNNEncoder
+
+
+def sample_grid_features(
+    point_pos_bxnx3: jnp.ndarray, pyramid: Sequence[jnp.ndarray]
+) -> jnp.ndarray:
+    """Probe every voxel-pyramid level at the given points (sample_f).
+
+    Points live in [-0.5, 0.5]; each level of resolution r is sampled at
+    clamp((p + 0.5) * r, 0, r - 1) with border trilinear interpolation —
+    exactly the grid_sample path of pc_model.py:182-194.
+    """
+    p01 = point_pos_bxnx3 + 0.5
+    feats = []
+    for level in pyramid:
+        r = level.shape[1]
+        coords = jnp.clip(p01 * r, 0.0, r - 1.0)
+        feats.append(trilinear_devoxelize(level, coords))
+    return jnp.concatenate(feats, axis=-1)
+
+
+class DeformableTetNetwork(nn.Module):
+    adj: VertexAdjacency
+    blocks: Tuple[Tuple[int, int, int], ...] = DEFAULT_BLOCKS
+    use_two_encoder: bool = True
+    scale_pos: bool = True
+    scale_pvcnn: bool = True
+    train_def: bool = True
+    gcn_hidden: Sequence[int] = (256, 256, 128)
+    pos_mlp_hidden: Sequence[float] = (128, 0.2, 64)
+    occ_mlp_hidden: Sequence[float] = (256, 0.2, 256, 0.2, 128, 0.2, 64)
+
+    def setup(self):
+        self.encoder_pos = PVCNNEncoder(
+            blocks=self.blocks, scale_pvcnn=self.scale_pvcnn
+        )
+        if self.use_two_encoder:
+            self.encoder_occ = PVCNNEncoder(
+                blocks=self.blocks, scale_pvcnn=self.scale_pvcnn
+            )
+        self.decoder_pos = GCNMLPDecoder(
+            gcn_hidden=tuple(self.gcn_hidden),
+            mlp_hidden=tuple(self.pos_mlp_hidden),
+            out_dim=3,
+        )
+        self.decoder_occ = MLPDecoder(
+            hidden=tuple(self.occ_mlp_hidden), out_dim=1
+        )
+
+    def encode(self, input_points_bxnx3, train: bool = True):
+        """Returns (pos_pyramid, occ_pyramid) of voxel features."""
+        pyr_pos = self.encoder_pos(input_points_bxnx3, train=train)
+        if self.use_two_encoder:
+            pyr_occ = self.encoder_occ(input_points_bxnx3, train=train)
+        else:
+            pyr_occ = pyr_pos
+        return pyr_pos, pyr_occ
+
+    def decode_pos(
+        self,
+        p_bxnx3: jnp.ndarray,
+        pyramid: Sequence[jnp.ndarray],
+        pos_mask_bxnx3: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ):
+        """Returns (pos_delta, tet_pos, ori_pos_delta)."""
+        if not self.train_def:
+            zero = jnp.zeros_like(p_bxnx3)
+            return zero, p_bxnx3, zero
+        feat = sample_grid_features(p_bxnx3, pyramid)
+        feat = jnp.concatenate([feat, p_bxnx3], axis=-1)
+        delta = self.decoder_pos(feat, self.adj, train=train) * 0.1
+        ori_delta = delta
+        if self.scale_pos:
+            scale = 0.2
+            delta = nn.sigmoid(delta) * scale - scale / 2
+        if pos_mask_bxnx3 is not None:
+            delta = delta * pos_mask_bxnx3
+        return delta, p_bxnx3 + delta, ori_delta
+
+    def decode_occ(
+        self,
+        centers_bxkx3: jnp.ndarray,
+        pyramid: Sequence[jnp.ndarray],
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """Bernoulli logits (B, K) for pre-gathered tet centers."""
+        feat = sample_grid_features(centers_bxkx3, pyramid)
+        feat = jnp.concatenate([feat, centers_bxkx3], axis=-1)
+        logits = self.decoder_occ(feat, train=train)
+        return logits[..., 0]
+
+    def __call__(
+        self,
+        input_points_bxnx3,
+        p_bxnx3,
+        centers_bxkx3,
+        pos_mask_bxnx3=None,
+        train: bool = True,
+    ):
+        """Initialization / smoke path exercising all submodules."""
+        pyr_pos, pyr_occ = self.encode(input_points_bxnx3, train=train)
+        delta, pos, ori = self.decode_pos(
+            p_bxnx3, pyr_pos, pos_mask_bxnx3, train=train
+        )
+        logits = self.decode_occ(centers_bxkx3, pyr_occ, train=train)
+        return delta, pos, ori, logits

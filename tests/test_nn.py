@@ -1,0 +1,147 @@
+"""Shape/behaviour tests for the flax network modules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deftet_tpu.nn import (
+    DeformableTetNetwork,
+    GCNMLPDecoder,
+    PVCNNEncoder,
+    VertexAdjacency,
+    sample_grid_features,
+    voxelize_coords,
+)
+from deftet_tpu.tetgrid import build_tet_grid, build_topology
+
+
+def _adjacency(grid):
+    topo = build_topology(grid.tets, grid.n_vertices)
+    return VertexAdjacency(
+        idx=jnp.asarray(topo.vert_adj_idx),
+        mask=jnp.asarray(topo.vert_adj_mask),
+        degree=jnp.asarray(topo.vert_degree),
+    )
+
+
+def test_voxelize_coords_scale_pvcnn():
+    coords = jnp.asarray(np.array([[[-1, -1, -1], [1, 1, 1], [0, 0, 0]]],
+                                  np.float32))
+    norm, vox = voxelize_coords(coords, 8, scale_pvcnn=True)
+    np.testing.assert_allclose(np.asarray(norm)[0, 0], [0, 0, 0])
+    np.testing.assert_allclose(np.asarray(norm)[0, 1], [7, 7, 7])
+    np.testing.assert_allclose(np.asarray(norm)[0, 2], [4, 4, 4])
+    assert np.asarray(vox).dtype == np.int32
+
+
+def test_pvcnn_encoder_pyramid_shapes():
+    enc = PVCNNEncoder(blocks=((8, 1, 8), (16, 2, 4)))
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.5, 0.5, (2, 128, 3)).astype(
+            np.float32
+        )
+    )
+    vars_ = enc.init(jax.random.PRNGKey(0), pts, train=False)
+    pyramid = enc.apply(vars_, pts, train=False)
+    assert [tuple(v.shape) for v in pyramid] == [
+        (2, 8, 8, 8, 8),
+        (2, 4, 4, 4, 16),
+        (2, 4, 4, 4, 16),
+    ]
+    # train mode updates batch stats
+    _, mutated = enc.apply(
+        vars_, pts, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+
+
+def test_sample_grid_features_concat():
+    pyramid = [
+        jnp.ones((1, 4, 4, 4, 8)),
+        jnp.full((1, 2, 2, 2, 16), 2.0),
+    ]
+    pts = jnp.zeros((1, 10, 3))
+    f = sample_grid_features(pts, pyramid)
+    assert f.shape == (1, 10, 24)
+    np.testing.assert_allclose(np.asarray(f)[..., :8], 1.0)
+    np.testing.assert_allclose(np.asarray(f)[..., 8:], 2.0)
+
+
+def test_gcn_decoder_shapes_and_locality():
+    grid = build_tet_grid(2)
+    adj = _adjacency(grid)
+    dec = GCNMLPDecoder(gcn_hidden=(16, 16, 8), mlp_hidden=(8,), out_dim=3)
+    n = grid.n_vertices
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, n, 5)).astype(np.float32)
+    )
+    vars_ = dec.init(jax.random.PRNGKey(0), x, adj, train=False)
+    y = dec.apply(vars_, x, adj, train=False)
+    assert y.shape == (2, n, 3)
+
+
+def test_full_network_forward_and_grad():
+    grid = build_tet_grid(2)
+    adj = _adjacency(grid)
+    model = DeformableTetNetwork(
+        adj=adj, blocks=((8, 1, 8), (16, 1, 4)), use_two_encoder=True,
+        gcn_hidden=(16, 16, 8), pos_mlp_hidden=(8,),
+        occ_mlp_hidden=(16, 0.2, 8),
+    )
+    rng = np.random.default_rng(2)
+    inp = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 64, 3)).astype(np.float32))
+    p = jnp.asarray(
+        np.tile(grid.centered_vertices().astype(np.float32)[None], (2, 1, 1))
+    )
+    centers = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(
+        np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inp, p, centers, train=False,
+    )
+    delta, pos, ori, logits = model.apply(
+        variables, inp, p, centers, train=False
+    )
+    assert delta.shape == p.shape
+    assert logits.shape == (2, 32)
+    # scale_pos squashes deltas into (-0.1, 0.1)
+    assert np.abs(np.asarray(delta)).max() < 0.1
+    np.testing.assert_allclose(
+        np.asarray(pos), np.asarray(p) + np.asarray(delta), atol=1e-6
+    )
+
+    # gradients flow to both encoders
+    def loss(params):
+        d, _, _, lg = model.apply(
+            {**variables, "params": params}, inp, p, centers, train=False
+        )
+        return jnp.sum(d**2) + jnp.sum(lg**2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    g_enc_occ = jax.tree_util.tree_leaves(g["encoder_occ"])
+    assert sum(np.abs(np.asarray(x)).sum() for x in g_enc_occ) > 0
+
+
+def test_pos_mask_freezes_boundary():
+    grid = build_tet_grid(2)
+    adj = _adjacency(grid)
+    model = DeformableTetNetwork(
+        adj=adj, blocks=((8, 1, 4),), use_two_encoder=False,
+        gcn_hidden=(8, 8), pos_mlp_hidden=(8,), occ_mlp_hidden=(8,),
+    )
+    rng = np.random.default_rng(3)
+    inp = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 32, 3)).astype(np.float32))
+    p = jnp.asarray(grid.centered_vertices().astype(np.float32)[None])
+    centers = jnp.zeros((1, 4, 3))
+    mask = jnp.asarray(grid.interior_mask[None])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, inp, p, centers,
+        pos_mask_bxnx3=mask, train=False,
+    )
+    delta, _, _, _ = model.apply(
+        variables, inp, p, centers, pos_mask_bxnx3=mask, train=False
+    )
+    boundary = np.asarray(mask)[0] == 0.0
+    assert np.abs(np.asarray(delta)[0][boundary]).max() == 0.0
