@@ -1,0 +1,225 @@
+"""Offline preprocessing + batched dataset iteration (host-side).
+
+Record schema per shape (mirrors the per-item dict of the reference's
+CombinationDataset, dataloader.py:184-197, with ragged mesh lists replaced
+by padding + valid counts so batches have static shapes):
+
+  surface_points (S, 3)  — area-weighted samples on the mesh
+                           (SamplePointsFromMesh, dataloader.py:68-89)
+  sdf_points     (P, 3)  — uniform in 1.05 * [-0.5, 0.5]^3
+  sdf            (P,)    — signed distance (inside positive sign convention
+                           of kaolin_mesh_to_sdf, dataloader.py:91-97:
+                           sign * distance with sign = +1 inside)
+  verts (Vmax, 3), faces (Fmax, 3), n_verts, n_faces — padded GT mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+from .shapes import random_shape
+
+
+def sample_surface(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    num_points: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Area-weighted uniform surface sampling (mesh_utils.py:56-92)."""
+    tri = verts[faces]  # (F, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    areas = 0.5 * np.linalg.norm(n, axis=1)
+    probs = areas / areas.sum()
+    choice = rng.choice(faces.shape[0], size=num_points, p=probs)
+    t = tri[choice]
+    u = np.sqrt(rng.uniform(size=(num_points, 1)))
+    v = rng.uniform(size=(num_points, 1))
+    return (1 - u) * t[:, 0] + (u * (1 - v)) * t[:, 1] + u * v * t[:, 2]
+
+
+def _point_triangle_sq_np(p, a, b, c):
+    """Numpy twin of ops.tri_distance.point_triangle_squared_distance."""
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = np.sum(ab * ap, -1)
+    d2 = np.sum(ac * ap, -1)
+    bp = p - b
+    d3 = np.sum(ab * bp, -1)
+    d4 = np.sum(ac * bp, -1)
+    cp = p - c
+    d5 = np.sum(ab * cp, -1)
+    d6 = np.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    eps = 1e-20
+
+    def safe_div(x, y):
+        return x / np.where(np.abs(y) < eps, 1.0, y)
+
+    v_ab = safe_div(d1, d1 - d3)
+    w_ac = safe_div(d2, d2 - d6)
+    w_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    denom = va + vb + vc
+    v_in = safe_div(vb, denom)
+    w_in = safe_div(vc, denom)
+    closest = a + v_in[..., None] * ab + w_in[..., None] * ac
+    closest = np.where(
+        ((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0))[..., None],
+        b + w_bc[..., None] * (c - b), closest)
+    closest = np.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                       a + w_ac[..., None] * ac, closest)
+    closest = np.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                       a + v_ab[..., None] * ab, closest)
+    closest = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c, closest)
+    closest = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b, closest)
+    closest = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a, closest)
+    return np.sum((p - closest) ** 2, -1)
+
+
+def _check_sign_np(verts, faces, points, chunk=2048):
+    """Ray-parity point-in-mesh (numpy; preprocessing twin of
+    ops.check_sign)."""
+    tri = verts[faces].astype(np.float64)
+    q = points.astype(np.float64) + np.array([4.9e-7, 7.3e-7, 0.0])
+    count = np.zeros(q.shape[0], dtype=np.int64)
+    v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+    denom = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    safe = np.abs(denom) > 1e-14
+    denom = np.where(safe, denom, 1.0)
+    for s in range(0, q.shape[0], chunk):
+        qq = q[s : s + chunk]
+        sx = qq[:, None, 0] - v0[None, :, 0]
+        sy = qq[:, None, 1] - v0[None, :, 1]
+        u = (sx * e2[None, :, 1] - sy * e2[None, :, 0]) / denom
+        v = (e1[None, :, 0] * sy - e1[None, :, 1] * sx) / denom
+        inside = (u >= 0) & (v >= 0) & (u + v <= 1) & safe[None, :]
+        z_hit = v0[None, :, 2] + u * e1[None, :, 2] + v * e2[None, :, 2]
+        count[s : s + chunk] = np.sum(
+            inside & (z_hit > qq[:, None, 2]), axis=1
+        )
+    return (count % 2).astype(np.float32)
+
+
+def mesh_sdf_points(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    num_points: int,
+    rng: np.random.Generator,
+    dist_chunk: int = 512,
+):
+    """Uniform box samples + signed distance (dataloader.py:91-115):
+    sdf = sign * distance, sign = +1 inside / -1 outside."""
+    points = 1.05 * (rng.uniform(size=(num_points, 3)) - 0.5)
+    sign = _check_sign_np(verts, faces, points) * 2.0 - 1.0
+    tri = verts[faces]
+    d2 = np.full(num_points, np.inf)
+    for s in range(0, tri.shape[0], dist_chunk):
+        t = tri[s : s + dist_chunk]
+        d = _point_triangle_sq_np(
+            points[:, None], t[None, :, 0], t[None, :, 1], t[None, :, 2]
+        )
+        d2 = np.minimum(d2, d.min(axis=1))
+    return points.astype(np.float32), (sign * np.sqrt(d2)).astype(np.float32)
+
+
+def make_example(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    n_surface: int,
+    n_sdf: int,
+    rng: np.random.Generator,
+) -> Dict[str, np.ndarray]:
+    surface = sample_surface(verts, faces, n_surface, rng)
+    sdf_pts, sdf = mesh_sdf_points(verts, faces, n_sdf, rng)
+    return {
+        "surface_points": surface.astype(np.float32),
+        "sdf_points": sdf_pts,
+        "sdf": sdf,
+        "verts": verts.astype(np.float32),
+        "faces": faces.astype(np.int32),
+    }
+
+
+def build_dataset(
+    root: str,
+    n_shapes: int,
+    n_surface: int = 20000,
+    n_sdf: int = 20000,
+    seed: int = 0,
+    level: int = 3,
+) -> List[str]:
+    """Generate + cache npz shards; returns the shard paths."""
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    for i in range(n_shapes):
+        path = os.path.join(root, f"shape_{seed}_{i:05d}.npz")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        verts, faces = random_shape(seed * 10007 + i, level=level)
+        rng = np.random.default_rng(seed * 65537 + i)
+        ex = make_example(verts, faces, n_surface, n_sdf, rng)
+        np.savez_compressed(path, **ex)
+    return paths
+
+
+class ShapeDataset:
+    """npz-backed dataset with static padding across the whole set."""
+
+    def __init__(self, paths: Sequence[str]):
+        self.paths = list(paths)
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        sizes = [self._load(i) for i in range(len(self.paths))]
+        self.max_verts = max(s["verts"].shape[0] for s in sizes)
+        self.max_faces = max(s["faces"].shape[0] for s in sizes)
+
+    def _load(self, i: int) -> Dict[str, np.ndarray]:
+        if i not in self._cache:
+            with np.load(self.paths[i]) as d:
+                self._cache[i] = {k: d[k] for k in d.files}
+        return self._cache[i]
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        ex = self._load(i)
+        v, f = ex["verts"], ex["faces"]
+        verts = np.zeros((self.max_verts, 3), np.float32)
+        verts[: v.shape[0]] = v
+        faces = np.zeros((self.max_faces, 3), np.int32)
+        faces[: f.shape[0]] = f
+        return {
+            "surface_points": ex["surface_points"],
+            "sdf_points": ex["sdf_points"],
+            "sdf": ex["sdf"],
+            "verts": verts,
+            "faces": faces,
+            "n_verts": np.int32(v.shape[0]),
+            "n_faces": np.int32(f.shape[0]),
+        }
+
+
+def batch_iterator(
+    dataset: ShapeDataset,
+    batch_size: int,
+    rng: np.random.Generator | None = None,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield stacked numpy batches; shuffles when rng is given
+    (DataLoader semantics of dataloader.py:199-207)."""
+    order = np.arange(len(dataset))
+    if rng is not None:
+        rng.shuffle(order)
+    for s in range(0, len(order), batch_size):
+        idx = order[s : s + batch_size]
+        if drop_last and idx.shape[0] < batch_size:
+            return
+        items = [dataset[int(i)] for i in idx]
+        yield {
+            k: np.stack([it[k] for it in items], axis=0) for k in items[0]
+        }

@@ -1,0 +1,98 @@
+"""Tests for procedural shapes and the preprocessing pipeline."""
+
+import numpy as np
+
+from deftet_tpu.data import (
+    ShapeDataset,
+    batch_iterator,
+    build_dataset,
+    make_blob,
+    make_box,
+    make_ellipsoid,
+    make_example,
+    make_torus,
+    mesh_sdf_points,
+    random_shape,
+    sample_surface,
+)
+
+
+def _is_closed(verts, faces):
+    """Every edge must appear exactly twice with opposite orientation."""
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    fwd = set(map(tuple, e))
+    if len(fwd) != e.shape[0]:
+        return False  # duplicated directed edge
+    return all((b, a) in fwd for a, b in fwd)
+
+
+def test_all_families_watertight_and_normalized():
+    rng = np.random.default_rng(0)
+    for maker in (make_blob, make_ellipsoid, make_box, make_torus):
+        verts, faces = maker(rng)
+        assert _is_closed(verts, faces), maker.__name__
+        ext = verts.max(0) - verts.min(0)
+        assert np.isclose(ext.max(), 0.9, atol=1e-6), maker.__name__
+        assert np.abs(verts.max(0) + verts.min(0)).max() < 1e-6
+
+
+def test_random_shape_deterministic():
+    v1, f1 = random_shape(7)
+    v2, f2 = random_shape(7)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_sample_surface_on_mesh():
+    rng = np.random.default_rng(1)
+    verts, faces = make_ellipsoid(rng, level=3)
+    pts = sample_surface(verts, faces, 2000, rng)
+    # points should be close to the ellipsoid surface: use the implicit form
+    scale = verts.max(0)  # semi-axes
+    r = np.linalg.norm(pts / scale, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=0.05)
+
+
+def test_sdf_sign_and_magnitude_sphere():
+    rng = np.random.default_rng(2)
+    verts, faces = make_blob(rng, level=3, n_bumps=0)  # plain sphere r=0.45
+    pts, sdf = mesh_sdf_points(verts, faces, 3000, rng)
+    r = np.linalg.norm(pts, axis=1)
+    inside = r < 0.44
+    outside = r > 0.46
+    assert (sdf[inside] > 0).all()
+    assert (sdf[outside] < 0).all()
+    np.testing.assert_allclose(
+        np.abs(sdf[outside]), (r - 0.45)[outside], atol=0.02
+    )
+
+
+def test_dataset_and_batching(tmp_path):
+    paths = build_dataset(
+        str(tmp_path), n_shapes=3, n_surface=256, n_sdf=128, level=1
+    )
+    ds = ShapeDataset(paths)
+    item = ds[0]
+    assert item["verts"].shape == (ds.max_verts, 3)
+    assert item["surface_points"].shape == (256, 3)
+    batches = list(batch_iterator(ds, 2, np.random.default_rng(0)))
+    assert len(batches) == 1  # drop_last
+    b = batches[0]
+    assert b["surface_points"].shape == (2, 256, 3)
+    assert b["faces"].shape[0] == 2
+    assert b["n_faces"].dtype == np.int32
+    # rebuild hits the cache (files already exist)
+    paths2 = build_dataset(
+        str(tmp_path), n_shapes=3, n_surface=256, n_sdf=128, level=1
+    )
+    assert paths2 == paths
+
+
+def test_make_example_schema():
+    rng = np.random.default_rng(3)
+    verts, faces = make_box(rng)
+    ex = make_example(verts, faces, 64, 32, rng)
+    assert set(ex) == {"surface_points", "sdf_points", "sdf", "verts", "faces"}
+    assert ex["sdf"].shape == (32,)
