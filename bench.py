@@ -1,0 +1,111 @@
+"""Headline benchmark: full training-step throughput on real hardware.
+
+Runs the paper-shaped recipe scaled to one chip — res-50 tet grid
+(T = 750k tets), batch 4, two PVCNN encoders, GCN position decoder, full
+loss set (occupancy BCE + volume/AMIPS/edge/Laplacian/delta + boundary
+chamfer/analytic/normal surface terms) — and reports steps/sec.
+
+The reference publishes no throughput numbers (BASELINE.md): baseline is
+self-measured.  ``vs_baseline`` is steps/sec relative to a nominal
+1.0 step/s single-accelerator target for this config.
+
+Env overrides: BENCH_RES, BENCH_BATCH, BENCH_STEPS, BENCH_SMALL=1 (tiny
+config for CPU smoke runs).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.random as jrandom
+
+    from deftet_tpu.config import TrainConfig
+    from deftet_tpu.data.shapes import random_shape
+    from deftet_tpu.train import Engine
+
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    res = int(os.environ.get("BENCH_RES", "8" if small else "50"))
+    batch = int(os.environ.get("BENCH_BATCH", "2" if small else "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "3" if small else "10"))
+
+    config = TrainConfig(
+        res=res,
+        batch_size=batch,
+        n_point=5000,
+        num_sample_points=5000,
+        occ_sample=10000 if not small else 512,
+        max_boundary_faces=min(16 * res * res, 6 * res**3 * 2),
+        per_face_samples=20 if not small else 4,
+        logdir="/tmp/deftet_bench",
+        experiment_id="bench",
+    )
+    if small:
+        config.encoder_blocks = "8,1,8;16,1,4"
+        config.gcn_hidden = "16,8"
+        config.pos_mlp_hidden = "8"
+        config.occ_mlp_hidden = "16,8"
+        config.n_point = 256
+        config.num_sample_points = 256
+
+    import sys
+
+    def note(msg):
+        print(f"# {msg} [t={time.perf_counter() - t_start:.1f}s]",
+              file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
+    note(f"building engine: res={res} batch={batch}")
+    engine = Engine(config)
+    note("engine ready")
+
+    rng = np.random.default_rng(0)
+    verts, faces = random_shape(0, level=2)
+    b = config.batch_size
+    batch_data = {
+        "surface_points": rng.uniform(
+            -0.4, 0.4, (b, config.num_sample_points, 3)
+        ).astype(np.float32),
+        "verts": np.tile(verts.astype(np.float32)[None], (b, 1, 1)),
+        "faces": np.tile(faces.astype(np.int32)[None], (b, 1, 1)),
+        "n_faces": np.full((b,), faces.shape[0], np.int32),
+    }
+    sharded = engine._prep_batch(batch_data)
+
+    # Warmup / compile.
+    note("compiling train step")
+    state, terms = engine._train_step(
+        engine.state, sharded, jrandom.PRNGKey(0), engine.statics
+    )
+    jax.block_until_ready(terms["total"])
+    engine.state = state
+    note("compiled; timing")
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, terms = engine._train_step(
+            engine.state, sharded, jrandom.PRNGKey(i + 1), engine.statics
+        )
+        engine.state = state
+    jax.block_until_ready(terms["total"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_res{res}_bs{batch}",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Command-line entry points (reference: train_multigpu.py:503-511,
+eval.py:393-402).
+
+``deftet-train``: build (or reuse) a procedural dataset, create an
+experiment, run the fit loop with best-IoU checkpointing.
+
+``deftet-eval``: load an experiment dir, restore the best (or last)
+checkpoint, report validation losses + occupancy IoU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .config import Experiment, TrainConfig, add_config_args, config_from_args
+from .data import ShapeDataset, batch_iterator, build_dataset
+from .train import Engine
+
+
+def _split(dataset: ShapeDataset, batch_size: int):
+    """Train/val split; the val split is always >= one full batch.
+
+    With fewer than 2 batches of shapes total, val reuses training shapes
+    (small smoke runs) rather than silently validating on nothing.
+    """
+    n_val = max(batch_size, len(dataset) // 8)
+    if len(dataset) >= n_val + batch_size:
+        train_paths = dataset.paths[n_val:]
+    else:
+        train_paths = dataset.paths
+    return ShapeDataset(train_paths), ShapeDataset(dataset.paths[:n_val])
+
+
+def _dataset(config: TrainConfig) -> ShapeDataset:
+    paths = build_dataset(
+        config.dataset_root,
+        n_shapes=config.n_shapes,
+        n_surface=max(config.num_sample_points, config.n_point),
+        n_sdf=config.num_sample_points,
+        seed=config.seed,
+    )
+    return ShapeDataset(paths)
+
+
+def train_main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="deftet-train")
+    add_config_args(parser)
+    args = parser.parse_args(argv)
+    config = config_from_args(args)
+
+    dataset = _dataset(config)
+    train_set, val_set = _split(dataset, config.batch_size)
+
+    engine = Engine(config)
+    print(f"experiment: {engine.experiment.path}", flush=True)
+    history = engine.fit(
+        lambda: batch_iterator(
+            train_set,
+            config.batch_size,
+            rng=np.random.default_rng(config.seed + engine.epoch),
+        ),
+        lambda: batch_iterator(val_set, config.batch_size),
+    )
+    for rec in history:
+        print(json.dumps(rec), flush=True)
+    print(f"best occupancy IoU: {engine.best_iou:.4f}")
+    return 0
+
+
+def eval_main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="deftet-eval")
+    parser.add_argument("--experiment_path", required=True)
+    parser.add_argument("--checkpoint", default="best",
+                        choices=["best", "last"])
+    args = parser.parse_args(argv)
+
+    experiment = Experiment.load(args.experiment_path)
+    config = experiment.config
+    engine = Engine(config, experiment=experiment)
+    engine.restore(args.checkpoint)
+
+    dataset = _dataset(config)
+    _, val_set = _split(dataset, config.batch_size)
+    means = engine.validate(
+        batch_iterator(val_set, config.batch_size)
+    )
+    print(json.dumps({"checkpoint": args.checkpoint, **means}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":  # python -m deftet_tpu.cli train|eval ...
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "train"
+    fn = train_main if cmd == "train" else eval_main
+    sys.exit(fn(sys.argv[2:]))

@@ -1,0 +1,211 @@
+"""Declarative config + experiment persistence.
+
+TPU-native replacement for the reference's Option/ConfigBuilder/Experiment
+stack (config.py:10-614, utils/experiment.py:33-495): a typed dataclass
+whose field names mirror the reference's option names, compiled into argparse
+(bools expand to ``--x`` / ``--no_x`` pairs exactly like experiment.py:
+150-170) and JSON round-tripped into the experiment directory so that eval
+can replay a training config (experiment.py:346-372).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import json
+import os
+import uuid
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # -- grid / model (config.py 'res', pc_model.py:50,86-104) --------------
+    res: int = 20
+    use_two_encoder: bool = True
+    scale_pvcnn: bool = True
+    scale_pos: bool = True
+    train_def: bool = True
+    use_point: bool = True
+    # Network dims, ';'/',' encoded for JSON + argparse friendliness.
+    # Defaults mirror pc_model.py:50 (PVCNN blocks (ch, reps, voxel_res))
+    # and :86-104 (decoder widths; entries < 1 are dropout rates).
+    encoder_blocks: str = "64,1,32;128,2,16;512,1,8"
+    gcn_hidden: str = "256,256,128"
+    pos_mlp_hidden: str = "128,0.2,64"
+    occ_mlp_hidden: str = "256,0.2,256,0.2,128,0.2,64"
+
+    # -- input pipeline (parallel.py:119-127, dataloader.py:199-207) -------
+    n_point: int = 5000            # encoder input points
+    add_input_noise: bool = True   # sigma 0.005
+    input_noise: float = 0.005
+    batch_size: int = 8
+    num_sample_points: int = 5000  # GT surface points used by surface losses
+
+    # -- optimization (train_multigpu.py:119-143) ---------------------------
+    lr: float = 1e-3
+    epochs: int = 100
+    grad_norm: bool = True
+    grad_norm_clip: float = 40.0
+
+    # -- loss weights (config.py:116-171) -----------------------------------
+    lambda_occ: float = 10.0
+    lambda_def: float = 1.0
+    lambda_surf: float = 1.0
+    lambda_surf_chamfer: float = 1.0
+    lambda_normal: float = 100.0
+    lambda_edge: float = 0.0
+    lambda_delta: float = 10.0
+    lambda_amips: float = 10.0
+    lambda_lap: float = 10.0
+    lambda_area: float = 10000.0
+    pow: int = 4
+
+    # -- occupancy decoding (pc_model.py:283-294, parallel.py:150-158) ------
+    occ_sample: int = 10000        # random tet centers per step (use_mask)
+    occ_threshold: float = 0.4     # pred_threshold
+    iou_logit_threshold: float = 0.1  # parallel.py:238 thresh=.1 on logits
+
+    # -- surface losses ------------------------------------------------------
+    per_face_samples: int = 20     # mesh_utils.py:290-299
+    # Static budget of boundary faces for the chamfer/analytic surface
+    # terms; 0 = all interior faces.  A closed surface at res r has O(r^2)
+    # boundary faces, so ~16 r^2 is lossless in practice.
+    max_boundary_faces: int = 0
+    timing: bool = False
+
+    # -- runtime -------------------------------------------------------------
+    seed: int = 1
+    experiment_id: str = ""
+    logdir: str = "experiments"
+    dataset_root: str = "data_cache"
+    n_shapes: int = 32
+    val_every: int = 1
+    save_vis: bool = False
+    # precision: "bf16" runs encoder/decoder matmuls in bfloat16.
+    precision: str = "bf16"
+
+    def parsed_blocks(self):
+        return tuple(
+            tuple(int(x) for x in group.split(","))
+            for group in self.encoder_blocks.split(";")
+            if group
+        )
+
+    @staticmethod
+    def _parse_hidden(spec: str):
+        return tuple(
+            int(float(x)) if float(x) >= 1 else float(x)
+            for x in spec.split(",")
+            if x
+        )
+
+    def parsed_gcn_hidden(self):
+        return self._parse_hidden(self.gcn_hidden)
+
+    def parsed_pos_mlp_hidden(self):
+        return self._parse_hidden(self.pos_mlp_hidden)
+
+    def parsed_occ_mlp_hidden(self):
+        return self._parse_hidden(self.occ_mlp_hidden)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        raw = json.loads(text)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        # Unknown keys are ignored (schema-drift tolerance, the role of the
+        # reference's per-option load_value overrides, experiment.py:81).
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def add_config_args(
+    parser: argparse.ArgumentParser, cls=TrainConfig
+) -> argparse.ArgumentParser:
+    """Compile the dataclass into argparse flags.
+
+    Bools become ``--name`` / ``--no_name`` pairs with a None default so
+    that only explicitly-passed flags override (experiment.py:150-170).
+    """
+    for f in dataclasses.fields(cls):
+        name = f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(
+                f"--{name}", dest=name, action="store_true", default=None
+            )
+            group.add_argument(
+                f"--no_{name}", dest=name, action="store_false", default=None
+            )
+        else:
+            parser.add_argument(
+                f"--{name}", type=type(f.default), default=None
+            )
+    return parser
+
+
+def config_from_args(
+    args: argparse.Namespace, base: Optional[TrainConfig] = None
+) -> TrainConfig:
+    cfg = base or TrainConfig()
+    for f in dataclasses.fields(TrainConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    return cfg
+
+
+class Experiment:
+    """Timestamped experiment directory with config + state persistence.
+
+    Mirrors utils/experiment.py:281-495: ``new`` creates
+    ``{logdir}/{timestamp}_{id}/`` holding ``config.json`` plus an
+    append-only ``state.json`` (epoch / best metric / global step); ``load``
+    replays a saved config for eval.
+    """
+
+    CONFIG = "config.json"
+    STATE = "state.json"
+
+    def __init__(self, path: str, config: TrainConfig):
+        self.path = path
+        self.config = config
+
+    @classmethod
+    def new(cls, config: TrainConfig) -> "Experiment":
+        ident = config.experiment_id or uuid.uuid4().hex[:8]
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        path = os.path.join(config.logdir, f"{stamp}_{ident}")
+        os.makedirs(path, exist_ok=True)
+        config.save(os.path.join(path, cls.CONFIG))
+        exp = cls(path, config)
+        exp.write_state({"epoch": 0, "best_iou": 0.0, "global_step": 0})
+        return exp
+
+    @classmethod
+    def load(cls, path: str) -> "Experiment":
+        config = TrainConfig.load(os.path.join(path, cls.CONFIG))
+        return cls(path, config)
+
+    def file_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def write_state(self, state: dict) -> None:
+        with open(self.file_path(self.STATE), "w") as f:
+            json.dump(state, f, indent=2)
+
+    def read_state(self) -> dict:
+        with open(self.file_path(self.STATE)) as f:
+            return json.load(f)

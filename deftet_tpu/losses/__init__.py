@@ -11,6 +11,7 @@ from .geometry import (
 from .surface import (
     boundary_faces_from_occupancy,
     sample_surface_points,
+    select_boundary_subset,
     surface_align_losses,
     normal_smoothness_loss,
     occupancy_bce,
@@ -25,6 +26,7 @@ __all__ = [
     "delta_loss",
     "boundary_faces_from_occupancy",
     "sample_surface_points",
+    "select_boundary_subset",
     "surface_align_losses",
     "normal_smoothness_loss",
     "occupancy_bce",

@@ -24,7 +24,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import face_normals
 from ..ops.nearest import sided_squared_distance
 from ..ops.tri_distance import point_to_mesh_squared_distance
 
@@ -75,27 +74,83 @@ def sample_surface_points(
     return (1 - u) * a + (u * (1 - v)) * bb + u * v * c
 
 
+def _face_normals_soa(tet_pos_bxnx3, faces_bxfx3, eps: float = 1e-12):
+    """Unit face normals as three (B, F) component arrays.
+
+    Structure-of-arrays on purpose: any large (..., 3) tensor risks XLA
+    placing the size-3 axis in the 128-lane dimension (42x padding).  With
+    per-component (B, F) arrays every lane dim is the big F axis.
+    """
+    comps = []
+    for c in range(3):
+        pos_c = tet_pos_bxnx3[..., c]  # (B, N)
+        comps.append(
+            [
+                jnp.take_along_axis(pos_c, faces_bxfx3[..., k], axis=1)
+                for k in range(3)
+            ]
+        )
+    # comps[c][k]: coordinate c of vertex k, (B, F)
+    e1 = [comps[c][1] - comps[c][0] for c in range(3)]
+    e2 = [comps[c][2] - comps[c][0] for c in range(3)]
+    nx = e1[1] * e2[2] - e1[2] * e2[1]
+    ny = e1[2] * e2[0] - e1[0] * e2[2]
+    nz = e1[0] * e2[1] - e1[1] * e2[0]
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + eps)
+    return nx * inv, ny * inv, nz * inv
+
+
 def normal_smoothness_loss(
-    face_pos_bxfx3x3: jnp.ndarray,
+    tet_pos_bxnx3: jnp.ndarray,
+    faces_bxfx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
-    edge_face_idx_exm: jnp.ndarray,
-    edge_face_mask_exm: jnp.ndarray,
+    pair_a_p: jnp.ndarray,
+    pair_b_p: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Mean (1 - n_a . n_b) over ordered pairs of boundary faces sharing an
-    edge; 0 when no such pair exists (mesh_utils.py:29-39)."""
-    normals = face_normals(face_pos_bxfx3x3)  # (B, F, 3)
-    n_e = normals[:, edge_face_idx_exm]  # (B, E, M, 3)
-    w_e = (
-        boundary_mask_bxf[:, edge_face_idx_exm] * edge_face_mask_exm[None]
-    )  # (B, E, M)
-    dots = jnp.einsum("bemc,benc->bemn", n_e, n_e)
-    w_pair = w_e[..., :, None] * w_e[..., None, :]
-    m = edge_face_idx_exm.shape[1]
-    not_self = 1.0 - jnp.eye(m, dtype=w_pair.dtype)
-    w_pair = w_pair * not_self
-    total = jnp.sum((1.0 - dots) * w_pair, axis=(1, 2, 3))
-    count = jnp.sum(w_pair, axis=(1, 2, 3))
+    """Mean (1 - n_a . n_b) over pairs of boundary faces sharing an edge;
+    0 when no such pair exists (mesh_utils.py:29-39, fed by the C4
+    edge-pair adjacency).  `pair_a/b` are the precomputed face-pair index
+    lists (tetgrid.topology.build_edge_face_pairs)."""
+    if pair_a_p.shape[0] == 0:
+        return jnp.zeros(tet_pos_bxnx3.shape[0])
+    nx, ny, nz = _face_normals_soa(tet_pos_bxnx3, faces_bxfx3)
+    pa = pair_a_p[None].astype(jnp.int32)
+    pb = pair_b_p[None].astype(jnp.int32)
+    dot = (
+        jnp.take_along_axis(nx, pa, 1) * jnp.take_along_axis(nx, pb, 1)
+        + jnp.take_along_axis(ny, pa, 1) * jnp.take_along_axis(ny, pb, 1)
+        + jnp.take_along_axis(nz, pa, 1) * jnp.take_along_axis(nz, pb, 1)
+    )  # (B, P)
+    w = jnp.take_along_axis(boundary_mask_bxf, pa, 1) * jnp.take_along_axis(
+        boundary_mask_bxf, pb, 1
+    )
+    total = jnp.sum((1.0 - dot) * w, axis=1)
+    count = jnp.sum(w, axis=1)
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
+def select_boundary_subset(
+    faces_bxfx3: jnp.ndarray,
+    boundary_mask_bxf: jnp.ndarray,
+    max_faces: int,
+):
+    """Static-size boundary-face working set via top-k on the mask.
+
+    The reference gathers the data-dependent boundary list per sample
+    (deftet.py:186-195); the TPU equivalent keeps a fixed budget of
+    `max_faces` slots — boundary faces fill them first (mask 1), the
+    rest are padding with mask 0.  A closed surface at grid res r has
+    O(r^2) boundary faces out of O(r^3) interior faces, so a budget of a
+    few r^2 loses nothing while shrinking the surface-loss working set by
+    ~r.
+    """
+    k = min(max_faces, boundary_mask_bxf.shape[1])
+    _, idx = jax.lax.top_k(boundary_mask_bxf, k)  # (B, K)
+    sel_faces = jnp.take_along_axis(
+        faces_bxfx3, idx[..., None], axis=1
+    )
+    sel_mask = jnp.take_along_axis(boundary_mask_bxf, idx, axis=1)
+    return sel_faces, sel_mask
 
 
 def surface_align_losses(
@@ -104,44 +159,58 @@ def surface_align_losses(
     faces_bxfx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
     gt_surface_bxsx3: jnp.ndarray,
-    edge_face_idx_exm: jnp.ndarray,
-    edge_face_mask_exm: jnp.ndarray,
+    edge_pair_fa: jnp.ndarray,
+    edge_pair_fb: jnp.ndarray,
     per_face_samples: int = 20,
     nn_chunk: int = 2048,
     tri_chunk: int = 512,
+    max_boundary_faces: int = 0,
 ):
     """The three surface terms of deftet.forward (deftet.py:138-184).
 
     Returns (chamfer (B,), analytic (B,), normal (B,)).
     When a sample has no boundary faces, each of its terms is 1.0
     (deftet.py:162-166 returns ones).
+
+    `max_boundary_faces > 0` caps the chamfer/analytic working set to a
+    static top-k boundary subset (see select_boundary_subset); the normal
+    smoothness term stays on the full face set (its `edge_pair_*` lists
+    index global face ids, and it needs no per-face sampling).
     """
-    face_pos = tet_pos_bxnx3[
-        jnp.arange(tet_pos_bxnx3.shape[0])[:, None, None], faces_bxfx3
-    ]  # (B, F, 3, 3)
+    b_idx = jnp.arange(tet_pos_bxnx3.shape[0])[:, None, None]
+    n_boundary = jnp.sum(boundary_mask_bxf, axis=1)
+
+    # --- Normal smoothness over edge-sharing boundary face pairs (full set).
+    normal = normal_smoothness_loss(
+        tet_pos_bxnx3, faces_bxfx3, boundary_mask_bxf,
+        edge_pair_fa, edge_pair_fb,
+    )
+
+    if 0 < max_boundary_faces < faces_bxfx3.shape[1]:
+        work_faces, work_mask = select_boundary_subset(
+            faces_bxfx3, boundary_mask_bxf, max_boundary_faces
+        )
+        work_pos = tet_pos_bxnx3[b_idx, work_faces]
+    else:
+        work_pos = tet_pos_bxnx3[b_idx, faces_bxfx3]
+        work_mask = boundary_mask_bxf
 
     # --- Chamfer: pred surface samples -> GT points (mesh_utils.py:360-366).
-    samples = sample_surface_points(key, face_pos, per_face_samples)
+    samples = sample_surface_points(key, work_pos, per_face_samples)
     b, f, k, _ = samples.shape
     flat = samples.reshape(b, f * k, 3)
     d2, _ = sided_squared_distance(flat, gt_surface_bxsx3, chunk=nn_chunk)
     d = jnp.sqrt(d2 + EPS).reshape(b, f, k)
-    w = boundary_mask_bxf[:, :, None]
-    n_boundary = jnp.sum(boundary_mask_bxf, axis=1)
+    w = work_mask[:, :, None]
     chamfer = jnp.sum(d * w, axis=(1, 2)) / jnp.maximum(
         n_boundary * k, 1.0
     )
 
     # --- Analytic: GT points -> nearest boundary face (C2 equivalent).
     d2_gt, _ = point_to_mesh_squared_distance(
-        gt_surface_bxsx3, face_pos, boundary_mask_bxf, chunk=tri_chunk
+        gt_surface_bxsx3, work_pos, work_mask, chunk=tri_chunk
     )
     analytic = jnp.mean(jnp.sqrt(d2_gt + EPS), axis=-1)
-
-    # --- Normal smoothness over edge-sharing boundary face pairs.
-    normal = normal_smoothness_loss(
-        face_pos, boundary_mask_bxf, edge_face_idx_exm, edge_face_mask_exm
-    )
 
     has_boundary = n_boundary > 0
     one = jnp.ones_like(chamfer)

@@ -50,7 +50,10 @@ def sample_grid_features(
 
 
 class DeformableTetNetwork(nn.Module):
-    adj: VertexAdjacency
+    # Static fallback adjacency; pass `adj` to decode_pos/__call__ instead
+    # when the arrays should be jit arguments rather than baked-in
+    # constants (large grids: constants bloat the HLO and slow compiles).
+    adj: Optional[VertexAdjacency] = None
     blocks: Tuple[Tuple[int, int, int], ...] = DEFAULT_BLOCKS
     use_two_encoder: bool = True
     scale_pos: bool = True
@@ -92,14 +95,17 @@ class DeformableTetNetwork(nn.Module):
         pyramid: Sequence[jnp.ndarray],
         pos_mask_bxnx3: Optional[jnp.ndarray] = None,
         train: bool = True,
+        adj: Optional[VertexAdjacency] = None,
     ):
         """Returns (pos_delta, tet_pos, ori_pos_delta)."""
         if not self.train_def:
             zero = jnp.zeros_like(p_bxnx3)
             return zero, p_bxnx3, zero
+        if adj is None:
+            adj = self.adj
         feat = sample_grid_features(p_bxnx3, pyramid)
         feat = jnp.concatenate([feat, p_bxnx3], axis=-1)
-        delta = self.decoder_pos(feat, self.adj, train=train) * 0.1
+        delta = self.decoder_pos(feat, adj, train=train) * 0.1
         ori_delta = delta
         if self.scale_pos:
             scale = 0.2
@@ -127,11 +133,12 @@ class DeformableTetNetwork(nn.Module):
         centers_bxkx3,
         pos_mask_bxnx3=None,
         train: bool = True,
+        adj: Optional[VertexAdjacency] = None,
     ):
         """Initialization / smoke path exercising all submodules."""
         pyr_pos, pyr_occ = self.encode(input_points_bxnx3, train=train)
         delta, pos, ori = self.decode_pos(
-            p_bxnx3, pyr_pos, pos_mask_bxnx3, train=train
+            p_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj
         )
         logits = self.decode_occ(centers_bxkx3, pyr_occ, train=train)
         return delta, pos, ori, logits

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .tiling import chunked_scan_reduce, pad_axis
+from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
 _JITTER = jnp.asarray([4.9e-7, 7.3e-7, 0.0], dtype=jnp.float32)
 
@@ -64,6 +64,7 @@ def check_sign(
     query_bxpx3: jnp.ndarray,
     n_valid_faces=None,
     chunk: int = 1024,
+    query_chunk: int = 16384,
 ) -> jnp.ndarray:
     """Occupancy (1 inside, 0 outside) of queries w.r.t. watertight meshes.
 
@@ -80,5 +81,9 @@ def check_sign(
     if n_valid_faces is None:
         n_valid_faces = jnp.full(v.shape[0], f.shape[1], dtype=jnp.int32)
     return jax.vmap(
-        lambda vv, ff, nn, qq: _check_sign_single(vv, ff, nn, qq, chunk)
+        lambda vv, ff, nn, qq: query_tiled(
+            lambda qc: _check_sign_single(vv, ff, nn, qc, chunk),
+            qq,
+            query_chunk,
+        )
     )(v, f, n_valid_faces, q)

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .tiling import chunked_scan_reduce, pad_axis
+from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -74,19 +74,24 @@ def nearest_neighbor(
     points_bxmx3: jnp.ndarray,
     n_valid=None,
     chunk: int = 2048,
+    query_chunk: int = 8192,
 ):
     """Index of the nearest reference point per query.
 
     Returns (squared_distance (B, P), index (B, M) int32).  Both are
-    stop-gradient (computed in f32 regardless of input dtype).
+    stop-gradient (computed in f32 regardless of input dtype).  Tiled on
+    both axes: reference points by `chunk` (scan), queries by
+    `query_chunk` (map) so the live tile stays VMEM-sized at any P.
     """
     q = jax.lax.stop_gradient(query_bxpx3).astype(jnp.float32)
     p = jax.lax.stop_gradient(points_bxmx3).astype(jnp.float32)
     if n_valid is None:
         n_valid = jnp.full(q.shape[0], p.shape[1], dtype=jnp.int32)
-    d2, idx = jax.vmap(lambda a, b, n: _nn_single(a, b, n, chunk))(
-        q, p, n_valid
-    )
+    d2, idx = jax.vmap(
+        lambda a, b, n: query_tiled(
+            lambda qq: _nn_single(qq, b, n, chunk), a, query_chunk
+        )
+    )(q, p, n_valid)
     return d2, idx
 
 

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .tiling import chunked_scan_reduce, pad_axis
+from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -57,11 +57,16 @@ def points_in_tets(
     tet_pos_bxtx4x3: jnp.ndarray,
     query_bxpx3: jnp.ndarray,
     chunk: int = 1024,
+    query_chunk: int = 16384,
 ) -> jnp.ndarray:
     """(B, P) int32 index of the first tet containing each point, or -1."""
     t = jax.lax.stop_gradient(tet_pos_bxtx4x3).astype(jnp.float32)
     q = jax.lax.stop_gradient(query_bxpx3).astype(jnp.float32)
-    return jax.vmap(lambda tt, qq: _points_in_tets_single(tt, qq, chunk))(t, q)
+    return jax.vmap(
+        lambda tt, qq: query_tiled(
+            lambda qc: _points_in_tets_single(tt, qc, chunk), qq, query_chunk
+        )
+    )(t, q)
 
 
 def paste_occupancy(

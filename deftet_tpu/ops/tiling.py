@@ -63,3 +63,31 @@ def chunked_scan_reduce(
 
     carry, _ = jax.lax.scan(scan_body, init, (stacked, starts))
     return carry
+
+
+def query_tiled(fn: Callable, query_px3: jnp.ndarray, query_chunk: int):
+    """Apply `fn` over fixed-size tiles of the query axis.
+
+    The brute-force kernels hold a (P, item_chunk) tile live per scan step;
+    with P in the hundreds of thousands (all sampled surface points, all
+    tet centers) that alone exceeds HBM.  Tiling the query axis bounds the
+    live tile to (query_chunk, item_chunk) — queries are independent, so a
+    sequential `lax.map` costs nothing but loop overhead.
+
+    Args:
+      fn: (q_chunk, 3) -> pytree of arrays with leading dim q_chunk.
+      query_px3: (P, 3).
+      query_chunk: tile size (also the minimum P for which tiling engages).
+
+    Returns fn's output pytree with leading dim P.
+    """
+    p = query_px3.shape[0]
+    if p <= query_chunk:
+        return fn(query_px3)
+    q_pad, _ = pad_axis(query_px3, 0, query_chunk, 0.0)
+    n_tiles = q_pad.shape[0] // query_chunk
+    tiles = q_pad.reshape(n_tiles, query_chunk, 3)
+    out = jax.lax.map(fn, tiles)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_tiles * query_chunk,) + x.shape[2:])[:p], out
+    )

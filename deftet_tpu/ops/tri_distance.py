@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .tiling import chunked_scan_reduce, pad_axis
+from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
 
 def point_triangle_squared_distance(p, a, b, c):
@@ -127,6 +127,7 @@ def point_to_mesh_squared_distance(
     tri_bxfx3x3: jnp.ndarray,
     face_mask_bxf: jnp.ndarray | None = None,
     chunk: int = 512,
+    query_chunk: int = 16384,
 ):
     """Squared distance from each point to the nearest (unmasked) triangle.
 
@@ -139,7 +140,11 @@ def point_to_mesh_squared_distance(
     if face_mask_bxf is None:
         face_mask_bxf = jnp.ones(tri.shape[:2], dtype=jnp.float32)
 
-    idx = jax.vmap(lambda p, t, m: _argmin_face_single(p, t, m, chunk))(
+    idx = jax.vmap(
+        lambda p, t, m: query_tiled(
+            lambda pc: _argmin_face_single(pc, t, m, chunk), p, query_chunk
+        )
+    )(
         jax.lax.stop_gradient(pts),
         jax.lax.stop_gradient(tri),
         face_mask_bxf,

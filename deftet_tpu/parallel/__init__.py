@@ -1,0 +1,17 @@
+"""SPMD helpers: device mesh, shardings, data-parallel batch placement."""
+
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+]

@@ -145,6 +145,36 @@ def build_face_edge_incidence(face_fx3: np.ndarray, n_point: int):
     return idx, mask
 
 
+def build_edge_face_pairs(face_fx3: np.ndarray, n_point: int):
+    """Unordered pairs of interior faces sharing an (undirected) edge.
+
+    The direct analogue of the reference's tet_face_adj_m_idx CUDA kernel
+    output (its wrapper converts the adjacency to an edge-pair index list,
+    layers/DefTet/tet_face_adj_m_idx/utils.py:39-61) — but built by index
+    hashing on host instead of O(F^2) coordinate matching on device.
+
+    Returns (pair_a (P,), pair_b (P,)) int32.  TPU rationale: the
+    smoothness loss over pairs needs only 2D (B, P) gathers, avoiding
+    (E, M, 3)-shaped tensors whose tiny minor dims tile catastrophically
+    (observed 42x lane-padding expansion).
+    """
+    idx, mask = build_face_edge_incidence(face_fx3, n_point)
+    pairs_a, pairs_b = [], []
+    m = idx.shape[1]
+    for i in range(m):
+        for j in range(i + 1, m):
+            both = (mask[:, i] > 0) & (mask[:, j] > 0)
+            pairs_a.append(idx[both, i])
+            pairs_b.append(idx[both, j])
+    if pairs_a:
+        pa = np.concatenate(pairs_a).astype(np.int32)
+        pb = np.concatenate(pairs_b).astype(np.int32)
+    else:
+        pa = np.zeros(0, np.int32)
+        pb = np.zeros(0, np.int32)
+    return pa, pb
+
+
 @dataclasses.dataclass
 class Topology:
     """All static topology of a tet grid, as dense numpy arrays."""
@@ -162,6 +192,8 @@ class Topology:
     tet_neighbor_tx4: np.ndarray  # (T, 4) int32, -1 at hull
     edge_face_idx: np.ndarray    # (E, Me) int32
     edge_face_mask: np.ndarray   # (E, Me) float32
+    edge_pair_fa: np.ndarray     # (P,) int32 — faces sharing an edge, side a
+    edge_pair_fb: np.ndarray     # (P,) int32 — side b
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, **dataclasses.asdict(self))
@@ -186,6 +218,7 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
     vai, vam, deg = build_vertex_adjacency(tets, n_point)
     nbr = build_tet_neighbors(face_tet_fx2, face_slot_fx2, tets.shape[0])
     efi, efm = build_face_edge_incidence(face_fx3, n_point)
+    pa, pb = build_edge_face_pairs(face_fx3, n_point)
     return Topology(
         n_vertices=int(n_point),
         n_tets=int(tets.shape[0]),
@@ -200,4 +233,6 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
         tet_neighbor_tx4=nbr,
         edge_face_idx=efi,
         edge_face_mask=efm,
+        edge_pair_fa=pa,
+        edge_pair_fb=pb,
     )

@@ -1,0 +1,217 @@
+"""Training engine: epoch loop, validation, checkpointing, logging.
+
+TPU re-architecture of Engine (train_multigpu.py:36-466).  Differences by
+design, not omission:
+
+  * nn.DataParallel scatter/gather -> one jitted SPMD step over a
+    ``jax.sharding.Mesh`` (batch dim sharded on the ``data`` axis,
+    params/statics replicated; XLA inserts the gradient psum).
+  * ragged GT mesh lists sharded per device (parallel.py:162-171) ->
+    statically padded (verts, faces, n_faces) batches that shard like any
+    other tensor.
+  * tensorboardX scalars -> append-only JSONL metrics file (the experiment
+    dir remains the unit of observability, train_multigpu.py:55-57).
+  * per-component .pth checkpoints -> one orbax pytree per save with the
+    same best-val-IoU selection (train_multigpu.py:415-466).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Experiment, TrainConfig
+from ..nn import DeformableTetNetwork, VertexAdjacency
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .statics import GridStatics, build_grid_statics
+from .step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class Engine:
+    """Owns model/state/step-functions for one experiment."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        experiment: Optional[Experiment] = None,
+        statics: Optional[GridStatics] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.experiment = experiment or Experiment.new(config)
+        self.statics = statics if statics is not None else build_grid_statics(
+            config.res
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(
+            batch_size=config.batch_size
+        )
+
+        adj = VertexAdjacency(
+            idx=self.statics.vert_adj_idx,
+            mask=self.statics.vert_adj_mask,
+            degree=self.statics.vert_degree,
+        )
+        self.model = DeformableTetNetwork(
+            adj=adj,
+            blocks=config.parsed_blocks(),
+            use_two_encoder=config.use_two_encoder,
+            scale_pos=config.scale_pos,
+            scale_pvcnn=config.scale_pvcnn,
+            train_def=config.train_def,
+            gcn_hidden=config.parsed_gcn_hidden(),
+            pos_mlp_hidden=config.parsed_pos_mlp_hidden(),
+            occ_mlp_hidden=config.parsed_occ_mlp_hidden(),
+        )
+        rng = jax.random.PRNGKey(config.seed)
+        self.state, self.tx = create_train_state(
+            self.model, config, self.statics, rng
+        )
+        # Replicate params + statics across the mesh so the sharded batch
+        # is the only distributed input.
+        self.state = TrainState(*replicate(tuple(self.state), self.mesh))
+        self.statics = GridStatics(*replicate(tuple(self.statics), self.mesh))
+        self._train_step = make_train_step(self.model, self.tx, config)
+        self._eval_step = make_eval_step(self.model, config)
+        self._rng = jax.random.PRNGKey(config.seed + 1)
+        self.global_step = 0
+        self.best_iou = 0.0
+        self.epoch = 0
+        self._metrics_path = self.experiment.file_path("metrics.jsonl")
+
+    # ------------------------------------------------------------------ util
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _log(self, record: Dict) -> None:
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _prep_batch(self, batch: Dict[str, np.ndarray]):
+        return shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+        )
+
+    # ----------------------------------------------------------------- train
+    def train_epoch(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
+        """One epoch; returns mean loss terms (train_multigpu.py:161-319)."""
+        sums: Dict[str, float] = {}
+        n = 0
+        t0 = time.perf_counter()
+        for batch in batches:
+            state, terms = self._train_step(
+                self.state, self._prep_batch(batch), self._next_rng(),
+                self.statics,
+            )
+            self.state = state
+            self.global_step += 1
+            n += 1
+            if self.global_step % 10 == 0 or n == 1:
+                host_terms = {
+                    k: float(v) for k, v in terms.items()
+                }
+                self._log(
+                    {"kind": "train", "step": self.global_step, **host_terms}
+                )
+            for k, v in terms.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        self.epoch += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        means["steps_per_sec"] = n / max(time.perf_counter() - t0, 1e-9)
+        return means
+
+    # ------------------------------------------------------------------ eval
+    def validate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
+        """Mean validation terms incl. occupancy IoU
+        (train_multigpu.py:321-413)."""
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            terms = self._eval_step(
+                self.state, self._prep_batch(batch), self._next_rng(),
+                self.statics,
+            )
+            for k, v in terms.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            raise ValueError(
+                "validate() received no batches — check that the validation "
+                "split has at least batch_size examples"
+            )
+        means = {k: v / n for k, v in sums.items()}
+        self._log({"kind": "val", "step": self.global_step, **means})
+        return means
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, best: bool = False) -> None:
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        ckdir = self.experiment.file_path("ckpt")
+        save_checkpoint(ckdir, "last", tree)
+        if best:
+            save_checkpoint(ckdir, "best", tree)
+        self.experiment.write_state(
+            {
+                "epoch": self.epoch,
+                "best_iou": self.best_iou,
+                "global_step": self.global_step,
+            }
+        )
+
+    def restore(self, name: str = "last") -> None:
+        tree = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        ckdir = self.experiment.file_path("ckpt")
+        restored = restore_checkpoint(ckdir, name, target=tree)
+        self.state = TrainState(
+            restored["params"],
+            restored["batch_stats"],
+            restored["opt_state"],
+            restored["step"],
+        )
+        st = self.experiment.read_state()
+        self.epoch = int(st.get("epoch", 0))
+        self.best_iou = float(st.get("best_iou", 0.0))
+        self.global_step = int(st.get("global_step", 0))
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, train_iter_fn, val_iter_fn, epochs: Optional[int] = None):
+        """Full loop with best-IoU checkpoint selection
+        (train_multigpu.py:472-501)."""
+        epochs = epochs if epochs is not None else self.config.epochs
+        history = []
+        for _ in range(epochs):
+            train_means = self.train_epoch(train_iter_fn())
+            record = {"epoch": self.epoch, "train": train_means}
+            if self.epoch % self.config.val_every == 0:
+                val_means = self.validate(val_iter_fn())
+                record["val"] = val_means
+                val_iou = val_means.get("occ_iou", 0.0)
+                is_best = val_iou > self.best_iou
+                if is_best:
+                    self.best_iou = val_iou
+                self.save(best=is_best)
+            history.append(record)
+        return history

@@ -1,0 +1,280 @@
+"""Jitted train / eval steps: the full DefTet loss pipeline as one pure fn.
+
+This is the TPU re-architecture of ParallelWrapper.forward (parallel.py:
+93-299) + the loss weighting of Engine.train (train_multigpu.py:243-276).
+One SPMD program replaces DataParallel scatter/gather: the batch dim is
+sharded across the ``data`` mesh axis, everything else is replicated, and
+XLA inserts the gradient psum.
+
+Semantics preserved from the reference (file:line cited inline):
+  * input noise sigma 0.005 on the first n_point surface points
+    (parallel.py:119-127),
+  * occupancy ground truth = check_sign of GT mesh at *deformed* tet
+    centers (deftet.py:33-49), no gradient,
+  * boundary faces from GT center occupancy, orientation flipped when the
+    first owner is occupied (deftet.py:186-195),
+  * random center subsample for the occupancy BCE (pc_model.py:283-294) —
+    one shared index set per step, like the reference's single randperm,
+  * loss = lambda_occ * occ + lambda_def * (area*l_area + edge*l_edge +
+    lap*l_lap + surf*l_surf + delta*l_delta + normal*l_normal +
+    amips*l_amips + chamfer*l_surf_chamfer) (train_multigpu.py:255-270).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..evals.metrics import iou
+from ..losses import (
+    amips_energy,
+    boundary_faces_from_occupancy,
+    delta_loss,
+    edge_length,
+    laplacian_loss,
+    occupancy_bce,
+    surface_align_losses,
+    volume_variance,
+)
+from ..ops.check_sign import check_sign
+from .statics import GridStatics
+
+
+class TrainState(NamedTuple):
+    params: Any        # trainable variables
+    batch_stats: Any   # BatchNorm running statistics
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """Adam + optional global-norm clip (train_multigpu.py:119-143,275)."""
+    chain = []
+    if config.grad_norm:
+        chain.append(optax.clip_by_global_norm(config.grad_norm_clip))
+    chain.append(optax.adam(config.lr))
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    model, config: TrainConfig, statics: GridStatics, rng: jax.Array,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    """Init params on a tiny shape-compatible call + build the optimizer."""
+    dummy_inp = jnp.zeros((1, config.n_point, 3), jnp.float32)
+    dummy_p = statics.init_pos_nx3[None]
+    dummy_c = jnp.zeros((1, 8, 3), jnp.float32)
+    variables = model.init(rng, dummy_inp, dummy_p, dummy_c, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config)
+    opt_state = tx.init(params)
+    return (
+        TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32)),
+        tx,
+    )
+
+
+def _center_subsample_idx(key: jax.Array, n_tets: int, k: int) -> jnp.ndarray:
+    """k distinct tet indices (randperm-equivalent, pc_model.py:283-294)."""
+    scores = jax.random.uniform(key, (n_tets,))
+    return jax.lax.top_k(scores, k)[1].astype(jnp.int32)
+
+
+def _network_forward(
+    module, inp_bxnx3, init_pos_bxnx3, tet_tx4, center_idx_k, pos_mask_bxnx3,
+    adj, train: bool,
+):
+    """Single-apply forward over all submodules (one BatchNorm mutation).
+
+    Mirrors the encode → decode_pos → decode_occ sequence of
+    parallel.py:128-220 with the tet-center computation of
+    pc_model.py:276-281 inlined.  `adj` arrives as a jit argument so the
+    adjacency arrays are not compile-time constants.
+    """
+    pyr_pos, pyr_occ = module.encode(inp_bxnx3, train=train)
+    pred_delta, tet_pos, ori_delta = module.decode_pos(
+        init_pos_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj
+    )
+    tet_verts = tet_pos[:, tet_tx4]             # (B, T, 4, 3)
+    centers = jnp.mean(tet_verts, axis=2)       # (B, T, 3)
+    logits = module.decode_occ(
+        centers[:, center_idx_k], pyr_occ, train=train
+    )                                           # (B, K)
+    return pred_delta, tet_pos, tet_verts, centers, logits
+
+
+def forward_losses(
+    model,
+    variables: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    statics: GridStatics,
+    config: TrainConfig,
+    rng: jax.Array,
+    train: bool = True,
+):
+    """Full forward. Returns ((total, aux-terms), mutated-variables)."""
+    k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
+    surface = batch["surface_points"]
+    b = surface.shape[0]
+
+    # --- encoder input: n_point surface points (+ noise) ------------------
+    inp = surface[:, : config.n_point]
+    if config.add_input_noise:
+        inp = inp + config.input_noise * jax.random.normal(
+            k_noise, inp.shape, inp.dtype
+        )
+
+    init_pos = jnp.broadcast_to(
+        statics.init_pos_nx3[None], (b,) + statics.init_pos_nx3.shape
+    )
+    pos_mask = jnp.broadcast_to(
+        statics.pos_mask_nx3[None], (b,) + statics.pos_mask_nx3.shape
+    )
+    n_tets = statics.n_tets
+    k = min(config.occ_sample, n_tets)
+    center_idx = _center_subsample_idx(k_centers, n_tets, k)
+
+    from ..nn import VertexAdjacency
+
+    adj = VertexAdjacency(
+        idx=statics.vert_adj_idx,
+        mask=statics.vert_adj_mask,
+        degree=statics.vert_degree,
+    )
+    rngs = {"dropout": k_drop} if train else {}
+    out = model.apply(
+        variables,
+        inp,
+        init_pos,
+        statics.tet_tx4,
+        center_idx,
+        pos_mask,
+        adj,
+        train,
+        method=_network_forward,
+        rngs=rngs,
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        (pred_delta, tet_pos, tet_verts, centers, logits), mutated = out
+    else:
+        pred_delta, tet_pos, tet_verts, centers, logits = out
+        mutated = {}
+
+    # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49) ---
+    center_occ = check_sign(
+        batch["verts"], batch["faces"], centers,
+        n_valid_faces=batch["n_faces"],
+    )  # (B, T) float {0,1}
+
+    # --- geometric regularizers -------------------------------------------
+    vol = volume_variance(tet_verts, pow=config.pow)
+    amips = amips_energy(tet_verts, statics.rest_inverse_tx3x3)
+    edge = edge_length(tet_verts, pow=config.pow)
+    lap = laplacian_loss(
+        pred_delta, statics.vert_adj_idx, statics.vert_adj_mask,
+        statics.vert_degree,
+    )
+    d_loss = delta_loss(pred_delta)
+
+    # --- surface alignment over GT-occupancy boundary faces ----------------
+    faces_b, boundary_mask = boundary_faces_from_occupancy(
+        center_occ, statics.face_fx3, statics.face_tet_fx2
+    )
+    gt_surface = surface[:, : config.num_sample_points]
+    chamfer, analytic, normal = surface_align_losses(
+        k_surf, tet_pos, faces_b, boundary_mask, gt_surface,
+        statics.edge_pair_fa, statics.edge_pair_fb,
+        per_face_samples=config.per_face_samples,
+        max_boundary_faces=config.max_boundary_faces,
+    )
+
+    # --- occupancy BCE on the subsampled centers ---------------------------
+    gt_occ = center_occ[:, center_idx]
+    occ = occupancy_bce(logits, gt_occ)
+
+    # --- weighted total (train_multigpu.py:255-270) ------------------------
+    terms = {
+        "volume": jnp.mean(vol),
+        "edge": jnp.mean(edge),
+        "lap": jnp.mean(lap),
+        "surface_align": jnp.mean(analytic),
+        "delta": jnp.mean(d_loss),
+        "normal": jnp.mean(normal),
+        "amips": jnp.mean(amips),
+        "surf_chamfer": jnp.mean(chamfer),
+        "occ": occ,
+    }
+    deform = (
+        terms["volume"] * config.lambda_area
+        + terms["edge"] * config.lambda_edge
+        + terms["lap"] * config.lambda_lap
+        + terms["surface_align"] * config.lambda_surf
+        + terms["delta"] * config.lambda_delta
+        + terms["normal"] * config.lambda_normal
+        + terms["amips"] * config.lambda_amips
+        + terms["surf_chamfer"] * config.lambda_surf_chamfer
+    )
+    total = jnp.zeros(())
+    if config.lambda_occ > 0.0:
+        total = total + occ * config.lambda_occ
+    if config.lambda_def > 0.0:
+        total = total + deform * config.lambda_def
+    terms["occ_iou"] = iou(
+        logits, gt_occ, thresh=config.iou_logit_threshold
+    )
+    return (total, (terms, mutated))
+
+
+def make_train_step(model, tx, config: TrainConfig):
+    """Build the jitted SPMD train step.
+
+    `statics` is a runtime argument, NOT a closure capture: closed-over
+    arrays become compile-time constants, and ~100MB of topology constants
+    makes XLA compilation pathologically slow at res >= 50.
+    donate_argnums=(0,) reuses the state buffers in place.
+    """
+
+    def train_step(state: TrainState, batch, rng, statics: GridStatics):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            total, (terms, mutated) = forward_losses(
+                model, variables, batch, statics, config, rng, train=True
+            )
+            return total, (terms, mutated)
+
+        (total, (terms, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        terms["total"] = total
+        new_stats = mutated.get("batch_stats", state.batch_stats)
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            terms,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config: TrainConfig):
+    """Jitted validation step: loss terms + occupancy IoU, no grad."""
+
+    def eval_step(state: TrainState, batch, rng, statics: GridStatics):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        total, (terms, _) = forward_losses(
+            model, variables, batch, statics, config, rng, train=False
+        )
+        terms["total"] = total
+        return terms
+
+    return jax.jit(eval_step)

@@ -1,0 +1,135 @@
+"""End-to-end training-slice tests (SURVEY.md §7 build step 5).
+
+A tiny procedural shape + res-4 grid + mini network; verifies on the
+8-virtual-device CPU mesh that:
+  * the jitted SPMD train step runs and every loss term is finite,
+  * total loss and occupancy BCE decrease over a few dozen steps,
+  * occupancy IoU rises above its initial value,
+  * checkpoint save/restore round-trips the state,
+  * the same step executes with batch dim sharded across all 8 devices.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deftet_tpu.config import Experiment, TrainConfig
+from deftet_tpu.data import ShapeDataset, batch_iterator, build_dataset
+from deftet_tpu.train import Engine
+
+TINY = dict(
+    res=4,
+    n_point=128,
+    num_sample_points=256,
+    occ_sample=128,
+    per_face_samples=4,
+    batch_size=2,
+    encoder_blocks="8,1,8;16,1,4",
+    gcn_hidden="16,16,8",
+    pos_mlp_hidden="8",
+    occ_mlp_hidden="16,0.2,8",
+    lr=1e-3,
+    epochs=1,
+    n_shapes=4,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards")
+    paths = build_dataset(
+        str(root), n_shapes=4, n_surface=512, n_sdf=256, seed=0, level=1
+    )
+    return ShapeDataset(paths)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    logdir = tmp_path_factory.mktemp("exp")
+    cfg = TrainConfig(logdir=str(logdir), **TINY)
+    return Engine(cfg)
+
+
+def _batches(dataset, cfg, seed=0):
+    return batch_iterator(
+        dataset, cfg.batch_size, rng=np.random.default_rng(seed)
+    )
+
+
+def test_train_step_runs_and_losses_finite(engine, tiny_dataset):
+    batch = next(_batches(tiny_dataset, engine.config))
+    state, terms = engine._train_step(
+        engine.state, engine._prep_batch(batch), jax.random.PRNGKey(0),
+        engine.statics,
+    )
+    engine.state = state
+    for k, v in terms.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(terms["total"]) > 0.0
+
+
+def test_loss_decreases_and_iou_rises(engine, tiny_dataset):
+    cfg = engine.config
+    first, last = None, None
+    first_iou, last_iou = None, None
+    for epoch in range(30):
+        means = engine.train_epoch(_batches(tiny_dataset, cfg, seed=epoch))
+        if first is None:
+            first, first_iou = means["occ"], means["occ_iou"]
+        last, last_iou = means["occ"], means["occ_iou"]
+    assert last < first, f"occ BCE did not decrease: {first} -> {last}"
+    assert last_iou >= first_iou, f"IoU fell: {first_iou} -> {last_iou}"
+    # the occupancy head must be learning something non-trivial
+    assert last_iou > 0.3, f"final IoU too low: {last_iou}"
+
+
+def test_validate_and_metrics_log(engine, tiny_dataset):
+    means = engine.validate(_batches(tiny_dataset, engine.config))
+    assert "occ_iou" in means and np.isfinite(means["occ_iou"])
+    with open(engine._metrics_path) as f:
+        lines = [json.loads(ln) for ln in f]
+    assert any(rec["kind"] == "val" for rec in lines)
+    assert any(rec["kind"] == "train" for rec in lines)
+
+
+def test_checkpoint_round_trip(engine, tiny_dataset):
+    engine.best_iou = 0.5
+    engine.save(best=True)
+    params_before = jax.tree_util.tree_map(
+        np.asarray, engine.state.params
+    )
+    # perturb then restore
+    engine.state = engine.state._replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0.0, engine.state.params)
+    )
+    engine.restore("best")
+    params_after = jax.tree_util.tree_map(np.asarray, engine.state.params)
+    flat_b = jax.tree_util.tree_leaves(params_before)
+    flat_a = jax.tree_util.tree_leaves(params_after)
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(b, a)
+    assert engine.best_iou == 0.5
+
+
+def test_data_parallel_8_devices(tiny_dataset, tmp_path):
+    """Same step, batch sharded over all 8 virtual devices."""
+    assert jax.device_count() == 8
+    cfg = TrainConfig(
+        logdir=str(tmp_path), **{**TINY, "batch_size": 8}
+    )
+    eng = Engine(cfg)
+    items = [tiny_dataset[i % len(tiny_dataset)] for i in range(8)]
+    batch = {
+        k: np.stack([it[k] for it in items]) for k in items[0]
+    }
+    sharded = eng._prep_batch(batch)
+    # verify the batch really is sharded across devices
+    sp = sharded["surface_points"]
+    assert len(sp.sharding.device_set) == 8
+    state, terms = eng._train_step(
+        eng.state, sharded, jax.random.PRNGKey(0), eng.statics
+    )
+    assert np.isfinite(float(terms["total"]))
