@@ -75,8 +75,8 @@ def query_tiled(fn: Callable, query_px3: jnp.ndarray, query_chunk: int):
     sequential `lax.map` costs nothing but loop overhead.
 
     Args:
-      fn: (q_chunk, 3) -> pytree of arrays with leading dim q_chunk.
-      query_px3: (P, 3).
+      fn: (q_chunk, D) -> pytree of arrays with leading dim q_chunk.
+      query_px3: (P, D) query rows (D is usually 3; any width works).
       query_chunk: tile size (also the minimum P for which tiling engages).
 
     Returns fn's output pytree with leading dim P.
@@ -86,7 +86,7 @@ def query_tiled(fn: Callable, query_px3: jnp.ndarray, query_chunk: int):
         return fn(query_px3)
     q_pad, _ = pad_axis(query_px3, 0, query_chunk, 0.0)
     n_tiles = q_pad.shape[0] // query_chunk
-    tiles = q_pad.reshape(n_tiles, query_chunk, 3)
+    tiles = q_pad.reshape((n_tiles, query_chunk) + query_px3.shape[1:])
     out = jax.lax.map(fn, tiles)
     return jax.tree_util.tree_map(
         lambda x: x.reshape((n_tiles * query_chunk,) + x.shape[2:])[:p], out

@@ -1,0 +1,416 @@
+"""2D-supervision optimization pipeline (the diff_render app).
+
+Behavioural port of diff_render/diftet_6_subdiv/6_optim/
+optim_with_mask_subdiv_from_gridmov.py:
+
+  * per step: random training view(s) + random pixel subset
+    (`pixelsampling` fraction, :201-206), render, and the loss stack
+    L1(color)*w_im + L1(mask)*w_mask + mean(alpha)*w_occ
+    [+ mean|mov|*w_pmov + sum(vol_var^2)*w_tetvar when the grid moves]
+    + dot(per-channel feature-Laplacian sums, weights_vector)  (:241-272).
+  * two Adam groups — features at `lr`, grid motion at `lr2`
+    (:141-144; defaults 5e-2 / 5e-4, betas (0.5, 0.999)).
+  * periodic tet carving every `delete_every` steps (:179-184).
+  * staged schedule: per sublevel a {mov, fix} pair of stages, then 1->8
+    subdivision (:486-521); every stage re-jits against the new topology
+    (static shapes per stage — the XLA-native version of the reference's
+    topology rebuild).
+  * test-time PSNR/MSE over full images (:330-384).
+
+Data: `load_blender` reads a NeRF-synthetic scene from disk;
+`make_synthetic_scene` renders a procedural GT (colored blob mesh through
+this same renderer) so the pipeline is fully self-contained.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .camera import camera_from_blender, pose_spherical
+from .scene import TetScene
+
+DEFAULT_WEIGHTS: Dict[str, float] = {
+    # expconfig.py / optim...py defaults
+    "weights_im_loss": 5.0,
+    "weights_mask_loss": 1.0,
+    "weights_mask_reg": 0.01,
+    "weights_point_mov": 1.0,
+    "weights_tetvariance": 2.5e8,
+    # per-channel feature-Laplacian weights: [rgb(3), alpha(1)]
+    "weights_vector": (0.01, 0.01, 0.01, 0.1),
+    # with grid motion an extra 3 channels for mov
+    "weights_vector_with_gridmov": (0.01, 0.01, 0.01, 0.1, 10.0, 10.0, 10.0),
+}
+
+
+def pixel_grid(height: int, width: int) -> np.ndarray:
+    """(H*W, 2) NDC pixel centers, y up (3_model/deftet.py:166-191)."""
+    x = (np.arange(width) + 0.5) / width * 2.0 - 1.0
+    y = -((np.arange(height) + 0.5) / height * 2.0 - 1.0)
+    ym, xm = np.meshgrid(y, x, indexing="ij")
+    return np.stack([xm, ym], axis=2).reshape(-1, 2).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Data
+# --------------------------------------------------------------------------
+def load_blender(
+    basedir: str, half_res: bool = True, splits=("train", "val", "test")
+):
+    """NeRF-synthetic loader (2_data/load_blender.py:55-115).
+
+    Returns (images (N,H,W,4) float in [0,1], poses (N,4,4), (H, W, focal),
+    split index lists).
+    """
+    import imageio.v2 as imageio
+
+    all_imgs, all_poses, counts = [], [], [0]
+    meta = None
+    for s in splits:
+        with open(os.path.join(basedir, f"transforms_{s}.json")) as f:
+            meta = json.load(f)
+        imgs, poses = [], []
+        for frame in meta["frames"]:
+            fname = os.path.join(basedir, frame["file_path"] + ".png")
+            imgs.append(imageio.imread(fname))
+            poses.append(np.array(frame["transform_matrix"]))
+        imgs = (np.array(imgs) / 255.0).astype(np.float32)
+        poses = np.array(poses).astype(np.float32)
+        counts.append(counts[-1] + imgs.shape[0])
+        all_imgs.append(imgs)
+        all_poses.append(poses)
+    i_split = [np.arange(counts[i], counts[i + 1]) for i in range(len(splits))]
+    imgs = np.concatenate(all_imgs, 0)
+    poses = np.concatenate(all_poses, 0)
+    h, w = imgs.shape[1:3]
+    camera_angle_x = float(meta["camera_angle_x"])
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+    if half_res:
+        imgs = imgs[:, ::2, ::2]
+        h, w, focal = h // 2, w // 2, focal / 2.0
+    return imgs, poses, (h, w, focal), i_split
+
+
+def make_synthetic_scene(
+    n_views: int = 8,
+    height: int = 64,
+    width: int = 64,
+    radius: float = 3.5,
+    seed: int = 0,
+    coef: float = 2.5,
+):
+    """Procedural GT: render a colored blob through this same renderer.
+
+    A stand-in for the (non-redistributable) NeRF-synthetic scenes with an
+    identical interface: (images (N,H,W,4), poses (N,4,4), (H,W,focal),
+    splits).
+    """
+    from ..data.shapes import random_shape
+
+    verts, faces = random_shape(seed, level=2)
+    verts = (verts * coef).astype(np.float32)
+    # color by position
+    color_logits = np.tanh(verts * 3.0) * 3.0
+    focal = 0.5 * width / np.tan(0.5 * 0.69)
+
+    grid = pixel_grid(height, width)
+    images, poses = [], []
+    for i in range(n_views):
+        theta = 360.0 * i / n_views
+        c2w = pose_spherical(theta, -30.0, radius)
+        poses.append(c2w)
+        rot, pos, proj = camera_from_blender(c2w, focal, height, width)
+        from .camera import perspective
+        from .composite import peel2mask, vertex2face
+        from .raster import deftet_sparse_render
+
+        cam, xy = perspective(
+            jnp.asarray(verts)[None], jnp.asarray(rot), jnp.asarray(pos),
+            jnp.asarray(proj),
+        )
+        face_z = vertex2face(cam[..., 2:3], jnp.asarray(faces))[..., 0]
+        face_img = vertex2face(xy, jnp.asarray(faces))
+        feat = np.concatenate(
+            [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits],
+            axis=1,
+        )
+        feat = jax.nn.sigmoid(jnp.asarray(feat))
+        face_feat = vertex2face(feat[None], jnp.asarray(faces))
+        pix = jnp.asarray(grid)[None]
+        rng = jnp.concatenate(
+            [jnp.full_like(pix[..., :1], -1000.0),
+             jnp.zeros_like(pix[..., :1])], axis=-1,
+        )
+        layers, _ = deftet_sparse_render(
+            pix, rng, face_z, face_img, face_feat, k=4
+        )
+        color, vis, _ = peel2mask(layers)
+        img = np.concatenate(
+            [np.asarray(color), np.asarray(vis)], axis=-1
+        ).reshape(height, width, 4)
+        images.append(img)
+    images = np.stack(images).astype(np.float32)
+    poses = np.stack(poses).astype(np.float32)
+    n_train = max(1, int(0.75 * n_views))
+    splits = [
+        np.arange(n_train),
+        np.arange(n_train, n_views),
+        np.arange(n_train, n_views),
+    ]
+    return images, poses, (height, width, focal), splits
+
+
+# --------------------------------------------------------------------------
+# Optimization
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class RenderOptConfig:
+    """Defaults from 6_optim/expconfig.py:12 + argparse defaults."""
+
+    tet_res: int = 40
+    coef: float = 2.5
+    sublevels: int = 2
+    steps_fix: int = 3000         # optfix
+    steps_mov: int = 2000         # optmov
+    pixel_sampling: float = 0.04
+    lr_feat: float = 5e-2
+    lr_mov: float = 5e-4
+    delete_every: int = 500       # deletenum
+    delete_threshold: float = 0.1  # deletethres
+    subdiv_threshold: Optional[float] = None
+    k: int = 10
+    raster_chunk: int = 1024
+    seed: int = 0
+
+
+def _white_composite(images_nxhxwx4: np.ndarray):
+    rgb = images_nxhxwx4[..., :3]
+    mask = images_nxhxwx4[..., 3:4]
+    return rgb * mask + (1.0 - mask), mask
+
+
+def make_render_step(
+    scene: TetScene,
+    weights: Dict[str, float],
+    gridmov: bool,
+    cfg: RenderOptConfig,
+    opt_feat: optax.GradientTransformation,
+    opt_mov: optax.GradientTransformation,
+):
+    """Jitted optimization step for the current (static) topology."""
+    w_vec = jnp.asarray(
+        weights["weights_vector_with_gridmov" if gridmov else
+                "weights_vector"]
+    )
+
+    def loss_fn(params, pix_1xpx2, rot, pos, proj, gt_color, gt_mask):
+        color, mask = scene.render(
+            params, pix_1xpx2, rot, pos, proj, k=cfg.k,
+            chunk=cfg.raster_chunk,
+        )[:2]
+        loss_im = jnp.mean(jnp.abs(color - gt_color))
+        loss_mask = jnp.mean(jnp.abs(mask - gt_mask))
+        feat = jax.nn.sigmoid(params["feat"])
+        alpha, rgb = feat[:, :1], feat[:, 1:]
+        loss_occ = jnp.mean(alpha)
+        total = (
+            loss_im * weights["weights_im_loss"]
+            + loss_mask * weights["weights_mask_loss"]
+            + loss_occ * weights["weights_mask_reg"]
+        )
+        lap_inputs = [rgb, alpha]
+        if gridmov:
+            loss_mov = jnp.mean(jnp.abs(params["mov"]))
+            tet_pos = scene.world_points(params)[None][
+                :, jnp.asarray(scene.tets_tx4)
+            ]
+            from ..losses.geometry import volume_variance
+
+            var = volume_variance(tet_pos, pow=2)
+            total = (
+                total
+                + weights["weights_point_mov"] * loss_mov
+                + weights["weights_tetvariance"] * jnp.sum(var**2)
+            )
+            lap_inputs.append(params["mov"])
+        lap = scene.feature_laplacian(
+            jnp.concatenate(lap_inputs, axis=-1)
+        )  # (P, D)
+        total = total + jnp.dot(jnp.sum(lap, axis=0), w_vec)
+        return total, {
+            "loss_im": loss_im, "loss_mask": loss_mask, "loss_occ": loss_occ
+        }
+
+    def step(params, opt_state_feat, opt_state_mov, pix, rot, pos, proj,
+             gt_color, gt_mask):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pix, rot, pos, proj, gt_color, gt_mask
+        )
+        up_f, opt_state_feat = opt_feat.update(
+            {"feat": grads["feat"]}, opt_state_feat
+        )
+        params = {**params, "feat": params["feat"] + up_f["feat"]}
+        if gridmov:
+            up_m, opt_state_mov = opt_mov.update(
+                {"mov": grads["mov"]}, opt_state_mov
+            )
+            params = {**params, "mov": params["mov"] + up_m["mov"]}
+        aux["total"] = total
+        return params, opt_state_feat, opt_state_mov, aux
+
+    return jax.jit(step)
+
+
+def optimize_stage(
+    scene: TetScene,
+    params: Dict[str, jnp.ndarray],
+    images: np.ndarray,
+    poses: np.ndarray,
+    hwf: Tuple[int, int, float],
+    i_train: np.ndarray,
+    cfg: RenderOptConfig,
+    gridmov: bool,
+    steps: int,
+    weights: Optional[Dict[str, float]] = None,
+    log_every: int = 200,
+    log: Optional[Callable[[str], None]] = print,
+):
+    """One {mov | fix} stage; re-jits whenever carving changes topology."""
+    weights = weights or DEFAULT_WEIGHTS
+    h, w, focal = hwf
+    gt_color, gt_mask = _white_composite(images)
+    grid = pixel_grid(h, w)
+    rng = np.random.default_rng(cfg.seed + (1 if gridmov else 0))
+
+    cams = [camera_from_blender(poses[i], focal, h, w) for i in
+            range(len(poses))]
+
+    opt_feat = optax.adam(cfg.lr_feat, b1=0.5, b2=0.999)
+    opt_mov = optax.adam(cfg.lr_mov, b1=0.5, b2=0.999)
+    osf = opt_feat.init({"feat": params["feat"]})
+    osm = opt_mov.init({"mov": params["mov"]})
+    step_fn = make_render_step(scene, weights, gridmov, cfg, opt_feat,
+                               opt_mov)
+
+    n_pix = max(1, int(cfg.pixel_sampling * h * w))
+    history = []
+    for i in range(steps):
+        if i > 0 and (i % cfg.delete_every == cfg.delete_every - 1):
+            if scene.carve(params, cfg.delete_threshold,
+                           neighbor_levels=1):
+                step_fn = make_render_step(
+                    scene, weights, gridmov, cfg, opt_feat, opt_mov
+                )
+        view = int(i_train[rng.integers(len(i_train))])
+        pick = rng.choice(h * w, size=n_pix, replace=False)
+        pix = jnp.asarray(grid[pick])[None]
+        gc = jnp.asarray(
+            gt_color[view].reshape(-1, 3)[pick]
+        )[None]
+        gm = jnp.asarray(gt_mask[view].reshape(-1, 1)[pick])[None]
+        rot, pos, proj = cams[view]
+        params, osf, osm, aux = step_fn(
+            params, osf, osm, pix,
+            jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj), gc, gm,
+        )
+        if log and (i % log_every == 0):
+            log(
+                f"[{'mov' if gridmov else 'fix'} {i}/{steps}] "
+                f"total={float(aux['total']):.4f} "
+                f"im={float(aux['loss_im']):.4f} "
+                f"mask={float(aux['loss_mask']):.4f}"
+            )
+        history.append(float(aux["total"]))
+    return params, history
+
+
+def render_full_image(
+    scene: TetScene,
+    params,
+    pose_4x4: np.ndarray,
+    hwf,
+    cfg: RenderOptConfig,
+    pix_chunk: int = 16384,
+):
+    """Full-frame render in pixel chunks; returns (H, W, 3) + (H, W, 1)."""
+    h, w, focal = hwf
+    rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
+    grid = pixel_grid(h, w)
+    colors, masks = [], []
+    for s in range(0, grid.shape[0], pix_chunk):
+        pix = jnp.asarray(grid[s: s + pix_chunk])[None]
+        c, m = scene.render(
+            params, pix, jnp.asarray(rot), jnp.asarray(pos),
+            jnp.asarray(proj), k=cfg.k, chunk=cfg.raster_chunk,
+        )[:2]
+        colors.append(np.asarray(c[0]))
+        masks.append(np.asarray(m[0]))
+    color = np.concatenate(colors).reshape(h, w, 3)
+    mask = np.concatenate(masks).reshape(h, w, 1)
+    return color, mask
+
+
+def evaluate_psnr(
+    scene: TetScene, params, images, poses, hwf, i_test, cfg: RenderOptConfig
+):
+    """Mean test MSE + PSNR (optim...py:330-384)."""
+    gt_color, _ = _white_composite(images)
+    mses = []
+    for i in i_test:
+        pred, _ = render_full_image(scene, params, poses[i], hwf, cfg)
+        mses.append(float(np.mean((pred - gt_color[i]) ** 2)))
+    mse = float(np.mean(mses))
+    psnr = float(-10.0 * np.log10(max(mse, 1e-10)))
+    return mse, psnr
+
+
+def run_pipeline(
+    images: np.ndarray,
+    poses: np.ndarray,
+    hwf,
+    i_split,
+    cfg: Optional[RenderOptConfig] = None,
+    weights: Optional[Dict[str, float]] = None,
+    log: Optional[Callable[[str], None]] = print,
+):
+    """Full staged schedule (optim...py:486-521): per sublevel run a
+    {mov, fix} stage pair, then subdivide.  Returns (scene, params,
+    per-stage PSNR records)."""
+    from ..tetgrid import build_tet_grid
+
+    cfg = cfg or RenderOptConfig()
+    i_train, _, i_test = i_split
+    grid = build_tet_grid(cfg.tet_res)
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+    records: List[Dict] = []
+
+    for sub in range(cfg.sublevels + 1):
+        for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
+            if steps <= 0:
+                continue
+            params, _ = optimize_stage(
+                scene, params, images, poses, hwf, i_train, cfg,
+                gridmov=gridmov, steps=steps, weights=weights, log=log,
+            )
+            mse, psnr = evaluate_psnr(
+                scene, params, images, poses, hwf, i_test, cfg
+            )
+            records.append(
+                {"sublevel": sub, "stage": "mov" if gridmov else "fix",
+                 "mse": mse, "psnr": psnr, "n_tets": scene.n_tets}
+            )
+            if log:
+                log(f"[sub {sub} {'mov' if gridmov else 'fix'}] "
+                    f"mse={mse:.5f} psnr={psnr:.2f} tets={scene.n_tets}")
+        if sub < cfg.sublevels:
+            params = scene.subdivide(params, cfg.subdiv_threshold)
+    return scene, params, records

@@ -1,0 +1,232 @@
+"""Optimizable tet scene for 2D-supervision reconstruction.
+
+Behavioural port of diff_render/diftet_6_subdiv/3_model/deftet.py (the
+``Deftet`` module): a tet grid whose per-vertex offsets (`mov`) and RGBA
+feature logits (`feat`) are optimization variables; topology (tets, render
+faces, vertex adjacency, tet neighbors) lives host-side as numpy and is
+rebuilt between stages on carving/subdivision — exactly the reference's
+stage structure (topology rebuild at 3_model/deftet.py:137-163, carving
+:333-351, subdivision :369-404), which also matches XLA's static-shape
+model: each stage jit-compiles once.
+
+JAX split: parameters are a pytree {"mov", "feat"} handed to optax; the
+scene object holds only static data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tetgrid.grid import TetGrid
+from ..tetgrid.subdivide import delete_tets, subdivide_tets
+from ..tetgrid.topology import (
+    build_faces,
+    build_tet_neighbors,
+    build_vertex_adjacency,
+)
+from .camera import perspective
+from .composite import render_mesh_color
+
+
+def build_render_faces(tets: np.ndarray, n_point: int) -> np.ndarray:
+    """All unique faces (interior + hull) of a tet list.
+
+    The reference renders the deduplicated face set including hull faces
+    (tet_to_face_idx(..., with_boundary=True), 3_model/deftet.py:141-144).
+    """
+    face_fx3, _, _, hull = build_faces(tets, n_point)
+    return np.concatenate([face_fx3, hull], axis=0).astype(np.int32)
+
+
+@dataclasses.dataclass
+class TetScene:
+    """Host-side scene state + static device arrays for one stage."""
+
+    points_px3: np.ndarray        # (P, 3) base vertex positions (fixed)
+    tets_tx4: np.ndarray          # (T, 4) alive tets
+    coef: float = 2.5             # world scale (expconfig.py:12 'coef')
+    feat_dim: int = 4             # [alpha, r, g, b]
+
+    # derived (filled by refresh_topology)
+    faces_fx3: np.ndarray = None
+    adj_idx: np.ndarray = None
+    adj_mask: np.ndarray = None
+    adj_deg: np.ndarray = None
+    tet_neighbor_tx4: np.ndarray = None
+
+    def __post_init__(self):
+        self.refresh_topology()
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_grid(cls, grid: TetGrid, coef: float = 2.5, feat_dim: int = 4):
+        return cls(
+            points_px3=grid.centered_vertices().astype(np.float32),
+            tets_tx4=np.asarray(grid.tets, dtype=np.int32),
+            coef=coef,
+            feat_dim=feat_dim,
+        )
+
+    @property
+    def n_points(self) -> int:
+        return int(self.points_px3.shape[0])
+
+    @property
+    def n_tets(self) -> int:
+        return int(self.tets_tx4.shape[0])
+
+    def refresh_topology(self) -> None:
+        n = self.n_points
+        self.faces_fx3 = build_render_faces(self.tets_tx4, n)
+        self.adj_idx, self.adj_mask, self.adj_deg = build_vertex_adjacency(
+            self.tets_tx4, n
+        )
+        face_fx3, face_tet, face_slot, _ = build_faces(self.tets_tx4, n)
+        self.tet_neighbor_tx4 = build_tet_neighbors(
+            face_tet, face_slot, self.n_tets
+        )
+
+    # ------------------------------------------------------------------
+    def init_params(
+        self, rng: np.random.Generator | None = None
+    ) -> Dict[str, jnp.ndarray]:
+        """Zero offsets + zero feature logits (sigmoid -> 0.5), the
+        reference's init (3_model/deftet.py:119-124)."""
+        del rng
+        return {
+            "mov": jnp.zeros((self.n_points, 3), jnp.float32),
+            "feat": jnp.zeros((self.n_points, self.feat_dim), jnp.float32),
+        }
+
+    def world_points(self, params) -> jnp.ndarray:
+        """coef * (base + mov) (get_point(with_coef=True), deftet.py:205-207)."""
+        return self.coef * (jnp.asarray(self.points_px3) + params["mov"])
+
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        params: Dict[str, jnp.ndarray],
+        pixel_xy_1xpx2: jnp.ndarray,
+        cam_rot_bx3x3: jnp.ndarray,
+        cam_pos_bx3: jnp.ndarray,
+        cam_proj_3: jnp.ndarray,
+        k: int = 10,
+        depth: bool = False,
+        chunk: int = 1024,
+    ):
+        """Render sampled pixels; returns (color, mask[, depth]).
+
+        The per-pixel z range is (-1000, 0): the camera looks down -z so
+        every face in front of the camera qualifies (deftet.py:461-462).
+        """
+        b = cam_rot_bx3x3.shape[0]
+        pts = self.world_points(params)[None].repeat(b, axis=0)
+        feat = params["feat"][None].repeat(b, axis=0)
+        cam_pts, img_xy = perspective(
+            pts, cam_rot_bx3x3, cam_pos_bx3, cam_proj_3
+        )
+        ranges = jnp.concatenate(
+            [
+                jnp.full_like(pixel_xy_1xpx2[..., :1], -1000.0),
+                jnp.zeros_like(pixel_xy_1xpx2[..., :1]),
+            ],
+            axis=-1,
+        )
+        return render_mesh_color(
+            pixel_xy_1xpx2,
+            ranges,
+            cam_pts,
+            img_xy,
+            feat,
+            jnp.asarray(self.faces_fx3),
+            k=k,
+            depth=depth,
+            chunk=chunk,
+        )
+
+    # ------------------------------------------------------------------
+    def feature_laplacian(self, x_pxd: jnp.ndarray) -> jnp.ndarray:
+        """Elementwise squared error between each vertex value and its
+        neighbor mean (get_featlap, deftet.py:221-241)."""
+        gathered = x_pxd[jnp.asarray(self.adj_idx)]  # (P, M, D)
+        s = jnp.sum(gathered * jnp.asarray(self.adj_mask)[..., None], axis=1)
+        nei = s / jnp.maximum(
+            jnp.asarray(self.adj_deg), 1
+        ).astype(x_pxd.dtype)[:, None]
+        return (nei - x_pxd) ** 2
+
+    def tet_weights(self, point_weights_p: np.ndarray) -> np.ndarray:
+        """Max vertex weight per tet (pointweights2tetweights + delete_tet's
+        max, deftet.py:311-315 / prepare_for_wz.py:171-180)."""
+        return point_weights_p[self.tets_tx4].max(axis=1)
+
+    def dilate_tet_weights(
+        self, w_t: np.ndarray, levels: int = 1
+    ) -> np.ndarray:
+        """Max-dilate tet weights over face-sharing neighbors
+        (tetweights2tetneighbourweights, deftet.py:317-331)."""
+        w = w_t.copy()
+        for _ in range(levels):
+            padded = np.concatenate([[0.0], w])
+            nbr = padded[self.tet_neighbor_tx4 + 1]  # (T, 4); -1 -> slot 0
+            w = np.maximum(w, nbr.max(axis=1))
+        return w
+
+    # ------------------------------------------------------------------
+    def carve(
+        self,
+        params: Dict[str, jnp.ndarray],
+        threshold: float = 0.01,
+        neighbor_levels: int = 1,
+    ) -> bool:
+        """Delete tets whose (dilated) max vertex alpha is below threshold.
+
+        Returns True if topology changed (caller must re-jit its stage).
+        Falls back to keeping everything if carving would empty the scene
+        (deftet.py:345-347).
+        """
+        alpha = np.asarray(
+            jnp.asarray(1.0 / (1.0 + jnp.exp(-params["feat"][:, 0])))
+        )
+        w_t = self.tet_weights(alpha)
+        w_t = self.dilate_tet_weights(w_t, neighbor_levels)
+        keep = w_t > threshold
+        if not keep.any():
+            return False
+        if keep.all():
+            return False
+        self.tets_tx4 = self.tets_tx4[keep]
+        self.refresh_topology()
+        return True
+
+    def subdivide(
+        self,
+        params: Dict[str, jnp.ndarray],
+        threshold: Optional[float] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """1→8 subdivision (all tets, or only those whose min vertex alpha
+        is below `threshold` — deftet.py:369-404); midpoint-interpolates
+        mov + feat and returns the new parameter pytree."""
+        feats = np.concatenate(
+            [np.asarray(params["feat"]), np.asarray(params["mov"])], axis=1
+        )
+        if threshold is None:
+            flag = None
+        else:
+            alpha = 1.0 / (1.0 + np.exp(-np.asarray(params["feat"][:, 0])))
+            flag = alpha[self.tets_tx4].min(axis=1) < threshold
+        new_points, new_feats, new_tets = subdivide_tets(
+            self.tets_tx4, self.points_px3, feats, flag
+        )
+        self.points_px3 = new_points.astype(np.float32)
+        self.tets_tx4 = new_tets
+        self.refresh_topology()
+        d = self.feat_dim
+        return {
+            "feat": jnp.asarray(new_feats[:, :d].astype(np.float32)),
+            "mov": jnp.asarray(new_feats[:, d:].astype(np.float32)),
+        }

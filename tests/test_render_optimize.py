@@ -1,0 +1,79 @@
+"""End-to-end 2D-supervision pipeline test: optimize a tiny tet grid
+against procedurally rendered GT and check the image loss drops."""
+
+import numpy as np
+
+from deftet_tpu.render.optimize import (
+    RenderOptConfig,
+    evaluate_psnr,
+    make_synthetic_scene,
+    optimize_stage,
+    pixel_grid,
+    run_pipeline,
+)
+from deftet_tpu.render.scene import TetScene
+from deftet_tpu.tetgrid import build_tet_grid
+
+
+def test_pixel_grid_ndc():
+    g = pixel_grid(2, 2).reshape(2, 2, 2)
+    # top-left pixel: x=-0.5, y=+0.5 (y up)
+    np.testing.assert_allclose(g[0, 0], [-0.5, 0.5])
+    np.testing.assert_allclose(g[1, 1], [0.5, -0.5])
+
+
+def test_synthetic_scene_shapes():
+    images, poses, hwf, splits = make_synthetic_scene(
+        n_views=4, height=16, width=16
+    )
+    assert images.shape == (4, 16, 16, 4)
+    assert poses.shape == (4, 4, 4)
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    # object visible: mask covers some but not all pixels
+    mask = images[..., 3]
+    assert 0.01 < mask.mean() < 0.9
+
+
+def test_optimize_stage_reduces_loss():
+    images, poses, hwf, (i_train, _, i_test) = make_synthetic_scene(
+        n_views=4, height=24, width=24
+    )
+    cfg = RenderOptConfig(
+        tet_res=4, sublevels=0, pixel_sampling=0.5, k=4,
+        delete_every=10_000, seed=0,
+    )
+    grid = build_tet_grid(cfg.tet_res)
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+
+    mse0, _ = evaluate_psnr(
+        scene, params, images, poses, hwf, i_test, cfg
+    )
+    params, history = optimize_stage(
+        scene, params, images, poses, hwf, i_train, cfg,
+        gridmov=False, steps=60, log=None,
+    )
+    mse1, psnr1 = evaluate_psnr(
+        scene, params, images, poses, hwf, i_test, cfg
+    )
+    assert mse1 < mse0, f"test MSE did not improve: {mse0} -> {mse1}"
+    assert np.isfinite(history).all()
+
+
+def test_run_pipeline_with_subdivision():
+    images, poses, hwf, splits = make_synthetic_scene(
+        n_views=3, height=16, width=16
+    )
+    cfg = RenderOptConfig(
+        tet_res=3, sublevels=1, steps_fix=12, steps_mov=8,
+        pixel_sampling=0.5, k=4, delete_every=10_000, seed=1,
+    )
+    scene, params, records = run_pipeline(
+        images, poses, hwf, splits, cfg, log=None
+    )
+    # stages ran: (mov, fix) x 2 sublevels
+    assert [r["stage"] for r in records] == ["mov", "fix", "mov", "fix"]
+    # subdivision happened between sublevels
+    assert records[2]["n_tets"] == 8 * records[1]["n_tets"]
+    assert params["feat"].shape[0] == scene.n_points
+    assert all(np.isfinite(r["mse"]) for r in records)
