@@ -44,6 +44,14 @@ def main():
         logdir="/tmp/deftet_bench",
         experiment_id="bench",
     )
+    # BENCH_SET="lambda_surf=0,lambda_normal=0" — ad-hoc config overrides
+    # (used to bisect compile/runtime cost by loss term).
+    for kv in os.environ.get("BENCH_SET", "").split(","):
+        if "=" in kv:
+            key, val = kv.split("=", 1)
+            cur = getattr(config, key)
+            setattr(config, key, type(cur)(val))
+
     if small:
         config.encoder_blocks = "8,1,8;16,1,4"
         config.gcn_hidden = "16,8"
@@ -63,9 +71,13 @@ def main():
     engine = Engine(config)
     note("engine ready")
 
+    from deftet_tpu.data.pipeline import occupancy_grid
+
     rng = np.random.default_rng(0)
     verts, faces = random_shape(0, level=2)
     b = config.batch_size
+    note("building occupancy grid")
+    occ = occupancy_grid(verts, faces, 32 if small else 64)
     batch_data = {
         "surface_points": rng.uniform(
             -0.4, 0.4, (b, config.num_sample_points, 3)
@@ -73,15 +85,19 @@ def main():
         "verts": np.tile(verts.astype(np.float32)[None], (b, 1, 1)),
         "faces": np.tile(faces.astype(np.int32)[None], (b, 1, 1)),
         "n_faces": np.full((b,), faces.shape[0], np.int32),
+        "occ_grid": np.tile(occ[None], (b, 1, 1, 1)),
     }
     sharded = engine._prep_batch(batch_data)
 
-    # Warmup / compile.
+    # Warmup / compile.  NOTE: synchronize via a host fetch (float()), not
+    # block_until_ready — some remote TPU backends return from
+    # block_until_ready before execution completes, which silently turns
+    # the benchmark into a dispatch-rate measurement.
     note("compiling train step")
     state, terms = engine._train_step(
         engine.state, sharded, jrandom.PRNGKey(0), engine.statics
     )
-    jax.block_until_ready(terms["total"])
+    float(terms["total"])
     engine.state = state
     note("compiled; timing")
 
@@ -91,7 +107,8 @@ def main():
             engine.state, sharded, jrandom.PRNGKey(i + 1), engine.statics
         )
         engine.state = state
-    jax.block_until_ready(terms["total"])
+    final = float(terms["total"])  # forces the whole dependent chain
+    assert np.isfinite(final)
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -19,6 +20,16 @@ import numpy as np
 from .config import Experiment, TrainConfig, add_config_args, config_from_args
 from .data import ShapeDataset, batch_iterator, build_dataset
 from .train import Engine
+
+
+def _maybe_force_platform() -> None:
+    """Honor DEFTET_PLATFORM=cpu|tpu (some TPU plugins ignore the
+    JAX_PLATFORMS env var; jax.config always wins)."""
+    plat = os.environ.get("DEFTET_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def _split(dataset: ShapeDataset, batch_size: int):
@@ -47,6 +58,7 @@ def _dataset(config: TrainConfig) -> ShapeDataset:
 
 
 def train_main(argv=None) -> int:
+    _maybe_force_platform()
     parser = argparse.ArgumentParser(prog="deftet-train")
     add_config_args(parser)
     args = parser.parse_args(argv)
@@ -72,6 +84,14 @@ def train_main(argv=None) -> int:
 
 
 def eval_main(argv=None) -> int:
+    """Full inference evaluation: surface extraction + the 9 metrics of
+    eval.py:171-349 (occ IoU, F-score/extend, Chamfer, Chamfer-L1,
+    Hausdorff avg/max) plus validation losses."""
+    _maybe_force_platform()
+    import jax
+
+    from .evals import make_inference_step
+
     parser = argparse.ArgumentParser(prog="deftet-eval")
     parser.add_argument("--experiment_path", required=True)
     parser.add_argument("--checkpoint", default="best",
@@ -88,7 +108,26 @@ def eval_main(argv=None) -> int:
     means = engine.validate(
         batch_iterator(val_set, config.batch_size)
     )
-    print(json.dumps({"checkpoint": args.checkpoint, **means}, indent=2))
+
+    infer = make_inference_step(engine.model, config)
+    sums, n = {}, 0
+    for batch in batch_iterator(val_set, config.batch_size):
+        out = infer(
+            engine.state, engine._prep_batch(batch),
+            jax.random.PRNGKey(config.seed), engine.statics,
+        )
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    metrics = {k: v / max(n, 1) for k, v in sums.items()}
+    report = {
+        "checkpoint": args.checkpoint,
+        "val_losses": means,
+        "metrics": metrics,
+    }
+    with open(experiment.file_path("result_update.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
     return 0
 
 

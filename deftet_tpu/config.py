@@ -63,6 +63,11 @@ class TrainConfig:
     pow: int = 4
 
     # -- occupancy decoding (pc_model.py:283-294, parallel.py:150-158) ------
+    # GT-occupancy oracle for tet centers: "grid" reads the precomputed
+    # occupancy texture (O(T) trilinear sample — the TPU-first default);
+    # "check_sign" runs the exact per-step ray-parity test like the
+    # reference (O(T * F_gt)).
+    occ_source: str = "grid"
     occ_sample: int = 10000        # random tet centers per step (use_mask)
     occ_threshold: float = 0.4     # pred_threshold
     iou_logit_threshold: float = 0.1  # parallel.py:238 thresh=.1 on logits

@@ -126,12 +126,37 @@ def mesh_sdf_points(
     return points.astype(np.float32), (sign * np.sqrt(d2)).astype(np.float32)
 
 
+OCC_GRID_EXTENT = 0.55  # grid spans [-E, E]^3 (1.1x the unit box)
+
+
+def occupancy_grid(
+    verts: np.ndarray, faces: np.ndarray, resolution: int
+) -> np.ndarray:
+    """Dense inside/outside grid over [-E, E]^3, sampled at cell centers.
+
+    TPU-first occupancy oracle: the training step labels *deformed* tet
+    centers by one trilinear texture read instead of an O(T * F_gt)
+    check_sign per step (deftet.py:33-49).  Offline cost is one parity
+    test per grid cell.
+    """
+    g = resolution
+    centers_1d = -OCC_GRID_EXTENT + (np.arange(g) + 0.5) / g * (
+        2 * OCC_GRID_EXTENT
+    )
+    xx, yy, zz = np.meshgrid(centers_1d, centers_1d, centers_1d,
+                             indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    occ = _check_sign_np(verts, faces, pts, chunk=8192)
+    return occ.reshape(g, g, g).astype(np.float32)
+
+
 def make_example(
     verts: np.ndarray,
     faces: np.ndarray,
     n_surface: int,
     n_sdf: int,
     rng: np.random.Generator,
+    occ_grid_res: int = 64,
 ) -> Dict[str, np.ndarray]:
     surface = sample_surface(verts, faces, n_surface, rng)
     sdf_pts, sdf = mesh_sdf_points(verts, faces, n_sdf, rng)
@@ -139,6 +164,7 @@ def make_example(
         "surface_points": surface.astype(np.float32),
         "sdf_points": sdf_pts,
         "sdf": sdf,
+        "occ_grid": occupancy_grid(verts, faces, occ_grid_res),
         "verts": verts.astype(np.float32),
         "faces": faces.astype(np.int32),
     }
@@ -193,7 +219,7 @@ class ShapeDataset:
         verts[: v.shape[0]] = v
         faces = np.zeros((self.max_faces, 3), np.int32)
         faces[: f.shape[0]] = f
-        return {
+        out = {
             "surface_points": ex["surface_points"],
             "sdf_points": ex["sdf_points"],
             "sdf": ex["sdf"],
@@ -202,6 +228,9 @@ class ShapeDataset:
             "n_verts": np.int32(v.shape[0]),
             "n_faces": np.int32(f.shape[0]),
         }
+        if "occ_grid" in ex:  # older caches may predate the grid oracle
+            out["occ_grid"] = ex["occ_grid"]
+        return out
 
 
 def batch_iterator(

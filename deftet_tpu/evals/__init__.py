@@ -7,6 +7,11 @@ from .metrics import (
     chamfer_distance_l1,
     hausdorff_distance,
 )
+from .harness import (
+    make_inference_step,
+    sample_mesh_points,
+    decode_occ_full_grid,
+)
 
 __all__ = [
     "iou",
@@ -14,4 +19,7 @@ __all__ = [
     "chamfer_distance",
     "chamfer_distance_l1",
     "hausdorff_distance",
+    "make_inference_step",
+    "sample_mesh_points",
+    "decode_occ_full_grid",
 ]

@@ -1,0 +1,205 @@
+"""Inference + metric harness (reference: eval.py:171-349).
+
+Per batch:
+  * encode input points (fixed noise seed at eval, parallel.py:119-122),
+  * decode positions over the grid,
+  * full-grid occupancy probabilities in chunks (split_decode_occ,
+    pc_model.py:332-366) -> threshold -> predicted occupancy,
+  * predicted surface = boundary faces of the *predicted* occupancy
+    (deftet.py:114 + eval.py:236-237),
+  * metrics: occupancy IoU on SDF sample points (check via point-in-tet
+    paste, eval.py:239-241), F-score / Chamfer / Chamfer-L1 on resampled
+    surface points (eval.py:244-255), two-sided point-to-mesh Hausdorff
+    (eval.py:256-260).
+
+Everything is masked/static-shape: the predicted surface keeps a top-k
+boundary working set, and surface resampling draws faces from an
+area*mask-weighted categorical — the static equivalent of kaolin
+sample_points on the extracted mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..losses import boundary_faces_from_occupancy, select_boundary_subset
+from ..ops.point_tet import paste_occupancy, points_in_tets
+from ..train.statics import GridStatics
+from .metrics import (
+    chamfer_distance,
+    chamfer_distance_l1,
+    f_score,
+    hausdorff_distance,
+    iou,
+)
+
+
+def sample_mesh_points(
+    key: jax.Array,
+    face_pos_bxfx3x3: jnp.ndarray,
+    face_mask_bxf: jnp.ndarray,
+    n_points: int,
+):
+    """Area-weighted point sampling on a masked triangle soup.
+
+    The static-shape equivalent of kaolin ``sample_points``
+    (mesh_utils.py:56-92 reimplements it the same way: categorical over
+    face areas, then sqrt-uv barycentric).
+    """
+    a = face_pos_bxfx3x3[:, :, 0]
+    b = face_pos_bxfx3x3[:, :, 1]
+    c = face_pos_bxfx3x3[:, :, 2]
+    cross = jnp.cross(b - a, c - a)
+    area = 0.5 * jnp.sqrt(jnp.sum(cross * cross, axis=-1) + 1e-20)
+    w = area * face_mask_bxf + 1e-20
+    logits = jnp.log(w)
+    k_face, k_uv = jax.random.split(key)
+    face_id = jax.random.categorical(
+        k_face, logits[:, None, :], axis=-1,
+        shape=(face_pos_bxfx3x3.shape[0], n_points),
+    )  # (B, n)
+    tri = jnp.take_along_axis(
+        face_pos_bxfx3x3, face_id[..., None, None], axis=1
+    )  # (B, n, 3, 3)
+    u = jnp.sqrt(
+        jax.random.uniform(k_uv, face_id.shape + (1,))
+    )
+    v = jax.random.uniform(jax.random.fold_in(k_uv, 1), face_id.shape + (1,))
+    return (
+        (1 - u) * tri[..., 0, :]
+        + (u * (1 - v)) * tri[..., 1, :]
+        + u * v * tri[..., 2, :]
+    )
+
+
+def decode_occ_full_grid(
+    model, variables, centers_bxtx3, pyramid, chunk: int = 100_000
+):
+    """Chunked full-grid occupancy probabilities (split_decode_occ,
+    pc_model.py:332-366)."""
+    b, t = centers_bxtx3.shape[:2]
+    pad = (-t) % chunk
+    padded = jnp.pad(centers_bxtx3, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = padded.shape[1] // chunk
+    tiles = padded.reshape(b, n_chunks, chunk, 3).swapaxes(0, 1)
+
+    def one(tile_bxcx3):
+        return model.apply(
+            variables, tile_bxcx3, pyramid,
+            train=False, method=model.decode_occ,
+        )
+
+    logits = jax.lax.map(one, tiles)  # (n_chunks, B, chunk)
+    return logits.swapaxes(0, 1).reshape(b, -1)[:, :t]
+
+
+def make_inference_step(model, config: TrainConfig):
+    """Jitted eval-forward: predicted occupancy + surface + all metrics."""
+
+    def infer(state, batch, rng, statics: GridStatics):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        surface = batch["surface_points"]
+        bsz = surface.shape[0]
+        inp = surface[:, : config.n_point]
+        if config.add_input_noise:
+            inp = inp + config.input_noise * jax.random.normal(
+                jax.random.PRNGKey(config.seed), inp.shape, inp.dtype
+            )
+
+        init_pos = jnp.broadcast_to(
+            statics.init_pos_nx3[None], (bsz,) + statics.init_pos_nx3.shape
+        )
+        pos_mask = jnp.broadcast_to(
+            statics.pos_mask_nx3[None], (bsz,) + statics.pos_mask_nx3.shape
+        )
+        pyr_pos, pyr_occ = model.apply(
+            variables, inp, train=False, method=model.encode
+        )
+        from ..nn import VertexAdjacency
+
+        adj = VertexAdjacency(
+            idx=statics.vert_adj_idx,
+            mask=statics.vert_adj_mask,
+            degree=statics.vert_degree,
+        )
+        _, tet_pos, _ = model.apply(
+            variables, init_pos, pyr_pos, pos_mask,
+            train=False, adj=adj, method=model.decode_pos,
+        )
+        tet_verts = tet_pos[:, statics.tet_tx4]
+        centers = jnp.mean(tet_verts, axis=2)
+
+        # ---- full-grid occupancy + threshold ---------------------------
+        logits = decode_occ_full_grid(
+            model, variables, centers, pyr_occ,
+            chunk=min(100_000, statics.n_tets),
+        )
+        pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
+            jnp.float32
+        )
+
+        # ---- predicted surface -----------------------------------------
+        faces_b, mask_b = boundary_faces_from_occupancy(
+            pred_occ, statics.face_fx3, statics.face_tet_fx2
+        )
+        budget = config.max_boundary_faces or faces_b.shape[1]
+        work_faces, work_mask = select_boundary_subset(
+            faces_b, mask_b, budget
+        )
+        bidx = jnp.arange(bsz)[:, None, None]
+        face_pos = tet_pos[bidx, work_faces]  # (B, K, 3, 3)
+
+        # ---- occupancy IoU on SDF sample points (eval.py:239-241) ------
+        sdf_pts = batch["sdf_points"]
+        gt_inside = (batch["sdf"] > 0).astype(jnp.float32)
+        cond = points_in_tets(tet_verts, sdf_pts)
+        pred_inside = paste_occupancy(pred_occ, cond) * (cond >= 0)
+        occ_iou = jax.vmap(lambda p, t: iou(p, t, thresh=0.5))(
+            pred_inside, gt_inside
+        )
+
+        # ---- surface metrics -------------------------------------------
+        n_res = config.num_sample_points
+        pred_pts = sample_mesh_points(rng, face_pos, work_mask, n_res)
+        gt_pts = surface[:, :n_res]
+        fs = f_score(gt_pts, pred_pts, radius=0.01)
+        fs_ext = f_score(gt_pts, pred_pts, radius=0.01, extend=True)
+        ch = chamfer_distance(pred_pts, gt_pts)
+        ch_l1 = chamfer_distance_l1(pred_pts, gt_pts)
+
+        gt_face_mask = (
+            jnp.arange(batch["faces"].shape[1])[None, :]
+            < batch["n_faces"][:, None]
+        ).astype(jnp.float32)
+        # predicted surface as an indexed soup: verts = flattened corners
+        kf = face_pos.shape[1]
+        pred_verts = face_pos.reshape(bsz, kf * 3, 3)
+        pred_faces = jnp.broadcast_to(
+            jnp.arange(kf * 3, dtype=jnp.int32).reshape(1, kf, 3),
+            (bsz, kf, 3),
+        )
+        haus_avg, haus_max = hausdorff_distance(
+            pred_verts, pred_faces, work_mask,
+            batch["verts"], batch["faces"].astype(jnp.int32), gt_face_mask,
+            pred_pts, gt_pts,
+        )
+
+        return {
+            "occ_iou": jnp.mean(occ_iou),
+            "f_score": jnp.mean(fs),
+            "f_score_extend": jnp.mean(fs_ext),
+            "chamfer": jnp.mean(ch),
+            "chamfer_l1": jnp.mean(ch_l1),
+            "hausdorff": jnp.mean(haus_avg),
+            "hausdorff_max": jnp.mean(haus_max),
+            "n_boundary": jnp.mean(jnp.sum(mask_b, axis=1)),
+        }
+
+    return jax.jit(infer)

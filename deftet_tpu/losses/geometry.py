@@ -110,3 +110,105 @@ def laplacian_loss(
 def delta_loss(pos_delta_bxnx3: jnp.ndarray) -> jnp.ndarray:
     """Mean absolute offset per batch element (parallel.py:232)."""
     return jnp.mean(jnp.abs(pos_delta_bxnx3), axis=(-1, -2))
+
+
+# ---------------------------------------------------------------------------
+# Structure-of-arrays variants.
+#
+# A (B, T, 4, 3) tet-corner tensor puts tiny dims in the TPU lane/sublane
+# positions — observed 40x padding expansion (5.7GB for a 144MB gather) at
+# production grid sizes.  The SoA forms below keep every array (B, T):
+# the big T axis rides the 128-lane dimension, padding is ~1x, and all the
+# per-tet math is pure VPU elementwise work.
+# ---------------------------------------------------------------------------
+
+
+def gather_tet_soa(pos_bxnx3: jnp.ndarray, tet_tx4: jnp.ndarray):
+    """Per-corner, per-coordinate gathers: soa[k][c] is an (B, T) array
+    holding coordinate c of corner k."""
+    cols = [pos_bxnx3[..., c] for c in range(3)]  # 3 x (B, N)
+    return [
+        [jnp.take_along_axis(
+            cols[c], tet_tx4[None, :, k].astype(jnp.int32), axis=1
+        ) for c in range(3)]
+        for k in range(4)
+    ]
+
+
+def tet_centers_soa(soa):
+    """Mean of the 4 corners; returns 3 (B, T) component arrays."""
+    return [
+        (soa[0][c] + soa[1][c] + soa[2][c] + soa[3][c]) * 0.25
+        for c in range(3)
+    ]
+
+
+def _det3_soa(m):
+    """Determinant of a 3x3 whose entries m[i][j] are (B, T) arrays."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def tet_volumes_soa(soa):
+    """Signed volume V = -det([A-D, B-D, C-D]) / 6 as a (B, T) array."""
+    rows = [
+        [soa[k][c] - soa[3][c] for c in range(3)] for k in range(3)
+    ]
+    return -_det3_soa(rows) / 6.0
+
+
+def volume_variance_soa(soa, pow: int = 4) -> jnp.ndarray:
+    v = tet_volumes_soa(soa)
+    mean_v = jnp.mean(v, axis=-1, keepdims=True)
+    if pow == 1:
+        return jnp.sum(jnp.abs(v - mean_v), axis=-1)
+    return jnp.sum((v - mean_v) ** pow, axis=-1)
+
+
+def amips_energy_soa(
+    soa,
+    rest_inverse_tx3x3: jnp.ndarray,
+    scale: float = 20.0,
+    square: bool = False,
+) -> jnp.ndarray:
+    """SoA twin of amips_energy: J = edge_matrix @ rest_inverse with all
+    nine J entries as (B, T) arrays."""
+    edge = [
+        [(soa[k + 1][c] - soa[0][c]) * scale for c in range(3)]
+        for k in range(3)
+    ]  # edge[i][k]: row i, column k
+    inv = [
+        [rest_inverse_tx3x3[:, k, j][None] for j in range(3)]
+        for k in range(3)
+    ]
+    jac = [
+        [
+            edge[i][0] * inv[0][j] + edge[i][1] * inv[1][j]
+            + edge[i][2] * inv[2][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    trace = sum(jac[i][j] * jac[i][j] for i in range(3) for j in range(3))
+    det = _det3_soa(jac)
+    pos_det = (det >= 0.0).astype(trace.dtype)
+    energy = trace * jnp.power(det * det + EPS, -1.0 / 3.0) * pos_det
+    if square:
+        energy = energy**2
+    return jnp.mean(energy, axis=-1)
+
+
+def edge_length_soa(soa, pow: int = 4, scale: float = 20.0) -> jnp.ndarray:
+    """SoA twin of edge_length."""
+    pairs = [(0, 3), (1, 3), (2, 3), (0, 1), (0, 2), (1, 2)]
+    total = 0.0
+    for a, b in pairs:
+        for c in range(3):
+            total = total + jnp.sum(
+                (soa[a][c] * scale - soa[b][c] * scale) ** pow, axis=-1
+            )
+    n_tets = soa[0][0].shape[-1]
+    return total / (6 * n_tets)

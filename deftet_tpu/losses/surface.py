@@ -145,11 +145,23 @@ def select_boundary_subset(
     ~r.
     """
     k = min(max_faces, boundary_mask_bxf.shape[1])
-    _, idx = jax.lax.top_k(boundary_mask_bxf, k)  # (B, K)
-    sel_faces = jnp.take_along_axis(
-        faces_bxfx3, idx[..., None], axis=1
+    b = boundary_mask_bxf.shape[0]
+    # Stream-compact the first k boundary faces via cumsum + scatter —
+    # equivalent to top_k on the 0/1 mask (ties broken by index) but
+    # compiles to one scatter instead of a full sort over F entries.
+    pos = jnp.cumsum(boundary_mask_bxf, axis=1)          # 1-indexed rank
+    slot = jnp.where(
+        (boundary_mask_bxf > 0) & (pos <= k), pos - 1, k
+    ).astype(jnp.int32)                                  # k = discard slot
+    b_idx = jnp.arange(b)[:, None]
+    sel_faces = (
+        jnp.zeros((b, k + 1, 3), faces_bxfx3.dtype)
+        .at[b_idx, slot].set(faces_bxfx3)[:, :k]
     )
-    sel_mask = jnp.take_along_axis(boundary_mask_bxf, idx, axis=1)
+    sel_mask = (
+        jnp.zeros((b, k + 1), boundary_mask_bxf.dtype)
+        .at[b_idx, slot].set(boundary_mask_bxf)[:, :k]
+    )
     return sel_faces, sel_mask
 
 
@@ -165,8 +177,13 @@ def surface_align_losses(
     nn_chunk: int = 2048,
     tri_chunk: int = 512,
     max_boundary_faces: int = 0,
+    with_chamfer: bool = True,
+    with_analytic: bool = True,
+    with_normal: bool = True,
 ):
     """The three surface terms of deftet.forward (deftet.py:138-184).
+    `with_*` flags drop a term from the traced program entirely (its
+    output is zeros).
 
     Returns (chamfer (B,), analytic (B,), normal (B,)).
     When a sample has no boundary faces, each of its terms is 1.0
@@ -179,38 +196,51 @@ def surface_align_losses(
     """
     b_idx = jnp.arange(tet_pos_bxnx3.shape[0])[:, None, None]
     n_boundary = jnp.sum(boundary_mask_bxf, axis=1)
+    zero = jnp.zeros_like(n_boundary)
 
     # --- Normal smoothness over edge-sharing boundary face pairs (full set).
-    normal = normal_smoothness_loss(
-        tet_pos_bxnx3, faces_bxfx3, boundary_mask_bxf,
-        edge_pair_fa, edge_pair_fb,
-    )
-
-    if 0 < max_boundary_faces < faces_bxfx3.shape[1]:
-        work_faces, work_mask = select_boundary_subset(
-            faces_bxfx3, boundary_mask_bxf, max_boundary_faces
+    normal = (
+        normal_smoothness_loss(
+            tet_pos_bxnx3, faces_bxfx3, boundary_mask_bxf,
+            edge_pair_fa, edge_pair_fb,
         )
-        work_pos = tet_pos_bxnx3[b_idx, work_faces]
+        if with_normal else zero
+    )
+
+    if with_chamfer or with_analytic:
+        if 0 < max_boundary_faces < faces_bxfx3.shape[1]:
+            work_faces, work_mask = select_boundary_subset(
+                faces_bxfx3, boundary_mask_bxf, max_boundary_faces
+            )
+            work_pos = tet_pos_bxnx3[b_idx, work_faces]
+        else:
+            work_pos = tet_pos_bxnx3[b_idx, faces_bxfx3]
+            work_mask = boundary_mask_bxf
+
+    if with_chamfer:
+        # --- Chamfer: pred samples -> GT points (mesh_utils.py:360-366).
+        samples = sample_surface_points(key, work_pos, per_face_samples)
+        b, f, k, _ = samples.shape
+        flat = samples.reshape(b, f * k, 3)
+        d2, _ = sided_squared_distance(
+            flat, gt_surface_bxsx3, chunk=nn_chunk
+        )
+        d = jnp.sqrt(d2 + EPS).reshape(b, f, k)
+        w = work_mask[:, :, None]
+        chamfer = jnp.sum(d * w, axis=(1, 2)) / jnp.maximum(
+            n_boundary * k, 1.0
+        )
     else:
-        work_pos = tet_pos_bxnx3[b_idx, faces_bxfx3]
-        work_mask = boundary_mask_bxf
+        chamfer = zero
 
-    # --- Chamfer: pred surface samples -> GT points (mesh_utils.py:360-366).
-    samples = sample_surface_points(key, work_pos, per_face_samples)
-    b, f, k, _ = samples.shape
-    flat = samples.reshape(b, f * k, 3)
-    d2, _ = sided_squared_distance(flat, gt_surface_bxsx3, chunk=nn_chunk)
-    d = jnp.sqrt(d2 + EPS).reshape(b, f, k)
-    w = work_mask[:, :, None]
-    chamfer = jnp.sum(d * w, axis=(1, 2)) / jnp.maximum(
-        n_boundary * k, 1.0
-    )
-
-    # --- Analytic: GT points -> nearest boundary face (C2 equivalent).
-    d2_gt, _ = point_to_mesh_squared_distance(
-        gt_surface_bxsx3, work_pos, work_mask, chunk=tri_chunk
-    )
-    analytic = jnp.mean(jnp.sqrt(d2_gt + EPS), axis=-1)
+    if with_analytic:
+        # --- Analytic: GT points -> nearest boundary face (C2 equivalent).
+        d2_gt, _ = point_to_mesh_squared_distance(
+            gt_surface_bxsx3, work_pos, work_mask, chunk=tri_chunk
+        )
+        analytic = jnp.mean(jnp.sqrt(d2_gt + EPS), axis=-1)
+    else:
+        analytic = zero
 
     has_boundary = n_boundary > 0
     one = jnp.ones_like(chamfer)

@@ -21,6 +21,7 @@ import dataclasses
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..losses.geometry import neighbor_mean
@@ -46,6 +47,46 @@ class VertexAdjacency:
 
     def matmul(self, x_bxnxd: jnp.ndarray) -> jnp.ndarray:
         return neighbor_mean(x_bxnxd, self.idx, self.mask, self.degree)
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeAdjacency:
+    """Row-normalized vertex adjacency of a REGULAR tet lattice as a
+    shift-stencil — the TPU-native fast path.
+
+    On the standard Kuhn 6-tet grid every interior vertex has the same 14
+    neighbor offsets, so `adj @ x` is a fixed stencil over the (n, n, n)
+    vertex lattice: 14 shifted adds (pure VPU, zero gather traffic)
+    instead of a padded (B, N, M, C) gather that materializes gigabytes at
+    production sizes.  Boundary rows are handled by zero padding + the
+    true per-vertex degree.
+    """
+
+    offsets: tuple      # ((dx, dy, dz), ...) static python ints
+    degree: jnp.ndarray  # (N,) int32 true vertex degrees
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def matmul(self, x_bxnxd: jnp.ndarray) -> jnp.ndarray:
+        b, n_verts, c = x_bxnxd.shape
+        n = round(n_verts ** (1.0 / 3.0))
+        while n**3 < n_verts:
+            n += 1
+        assert n**3 == n_verts, (n, n_verts)
+        xg = x_bxnxd.reshape(b, n, n, n, c)
+        pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        out = jnp.zeros_like(xg)
+        for dx, dy, dz in self.offsets:
+            out = out + jax.lax.dynamic_slice(
+                pad, (0, 1 + dx, 1 + dy, 1 + dz, 0), xg.shape
+            )
+        out = out.reshape(b, n_verts, c)
+        deg = jnp.maximum(self.degree, 1).astype(x_bxnxd.dtype)
+        return out / deg[None, :, None]
 
 
 class GraphConv(nn.Module):

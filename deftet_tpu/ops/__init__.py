@@ -7,7 +7,7 @@ from .geometry import (
     tet_rest_inverse,
     face_normals,
 )
-from .voxelize import avg_voxelize, trilinear_devoxelize
+from .voxelize import avg_voxelize, trilinear_devoxelize, occupancy_from_grid
 from .nearest import nearest_neighbor, sided_squared_distance
 from .check_sign import check_sign
 from .point_tet import points_in_tets
@@ -21,6 +21,7 @@ __all__ = [
     "face_normals",
     "avg_voxelize",
     "trilinear_devoxelize",
+    "occupancy_from_grid",
     "nearest_neighbor",
     "sided_squared_distance",
     "check_sign",

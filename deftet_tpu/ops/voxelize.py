@@ -100,3 +100,77 @@ def trilinear_devoxelize(
             for sz in (False, True):
                 out = out + corner((sx, sy, sz))
     return out
+
+
+OCC_GRID_EXTENT = 0.55  # must match data.pipeline.OCC_GRID_EXTENT
+
+
+def _trilinear_scalar_soa(grid_bxgxgxg, cx, cy, cz):
+    """Trilinear sample of a scalar grid at SoA coords (each (B, P));
+    border clamping.  Avoids any (B, P, 3) coordinate tensor (whose
+    size-3 lane dim pads 42x on TPU)."""
+    b, g = grid_bxgxgxg.shape[0], grid_bxgxgxg.shape[1]
+    flat = grid_bxgxgxg.reshape(b, g * g * g)
+    out = 0.0
+    comps = []
+    for c in (cx, cy, cz):
+        c = jnp.clip(c, 0.0, g - 1.0)
+        i0 = jnp.floor(c)
+        comps.append((i0.astype(jnp.int32), c - i0))
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                ix = jnp.minimum(comps[0][0] + sx, g - 1)
+                iy = jnp.minimum(comps[1][0] + sy, g - 1)
+                iz = jnp.minimum(comps[2][0] + sz, g - 1)
+                w = (
+                    (comps[0][1] if sx else 1.0 - comps[0][1])
+                    * (comps[1][1] if sy else 1.0 - comps[1][1])
+                    * (comps[2][1] if sz else 1.0 - comps[2][1])
+                )
+                vals = jnp.take_along_axis(
+                    flat, ix * (g * g) + iy * g + iz, axis=1
+                )
+                out = out + vals * w
+    return out
+
+
+def occupancy_from_grid(
+    occ_grid_bxgxgxg: jnp.ndarray,
+    points_bxpx3: jnp.ndarray,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Inside/outside labels from a precomputed occupancy texture.
+
+    The TPU-first occupancy oracle: a trilinear read of the offline
+    [-E, E]^3 cell-centered grid (data.pipeline.occupancy_grid) replacing
+    the reference's per-step O(points x GT-faces) check_sign
+    (deftet.py:33-49).  No gradient (labels).
+    """
+    pts = jax.lax.stop_gradient(points_bxpx3)
+    return occupancy_from_grid_soa(
+        occ_grid_bxgxgxg,
+        pts[..., 0], pts[..., 1], pts[..., 2],
+        threshold=threshold,
+    )
+
+
+def occupancy_from_grid_soa(
+    occ_grid_bxgxgxg: jnp.ndarray,
+    x_bxp: jnp.ndarray,
+    y_bxp: jnp.ndarray,
+    z_bxp: jnp.ndarray,
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """SoA-coordinate variant of occupancy_from_grid."""
+    g = occ_grid_bxgxgxg.shape[1]
+
+    def to_vox(c):
+        c = jax.lax.stop_gradient(c)
+        return (c + OCC_GRID_EXTENT) / (2 * OCC_GRID_EXTENT) * g - 0.5
+
+    vals = _trilinear_scalar_soa(
+        occ_grid_bxgxgxg.astype(jnp.float32),
+        to_vox(x_bxp), to_vox(y_bxp), to_vox(z_bxp),
+    )
+    return (vals > threshold).astype(jnp.float32)

@@ -30,7 +30,7 @@ from ..config import Experiment, TrainConfig
 from ..nn import DeformableTetNetwork, VertexAdjacency
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .statics import GridStatics, build_grid_statics
+from .statics import GridStatics, build_grid_statics, lattice_offsets
 from .step import (
     TrainState,
     create_train_state,
@@ -52,9 +52,16 @@ class Engine:
     ):
         self.config = config
         self.experiment = experiment or Experiment.new(config)
-        self.statics = statics if statics is not None else build_grid_statics(
-            config.res
-        )
+        if statics is not None:
+            self.statics = statics
+            self._lattice_offsets = None
+        else:
+            from ..tetgrid import build_tet_grid
+
+            grid = build_tet_grid(config.res)
+            self.statics = build_grid_statics(config.res, grid=grid)
+            # Regular grid -> stencil fast path for GCN/Laplacian.
+            self._lattice_offsets = lattice_offsets(grid)
         self.mesh = mesh if mesh is not None else make_mesh(
             batch_size=config.batch_size
         )
@@ -83,8 +90,13 @@ class Engine:
         # is the only distributed input.
         self.state = TrainState(*replicate(tuple(self.state), self.mesh))
         self.statics = GridStatics(*replicate(tuple(self.statics), self.mesh))
-        self._train_step = make_train_step(self.model, self.tx, config)
-        self._eval_step = make_eval_step(self.model, config)
+        self._train_step = make_train_step(
+            self.model, self.tx, config,
+            lattice_offsets=self._lattice_offsets,
+        )
+        self._eval_step = make_eval_step(
+            self.model, config, lattice_offsets=self._lattice_offsets
+        )
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self.global_step = 0
         self.best_iou = 0.0

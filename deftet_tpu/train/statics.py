@@ -40,16 +40,63 @@ class GridStatics(NamedTuple):
         return self.tet_tx4.shape[0]
 
 
+def lattice_offsets(grid: TetGrid) -> tuple | None:
+    """Neighbor offsets of the regular lattice, or None if not a lattice.
+
+    Derived from the actual adjacency of a strictly interior vertex of the
+    same grid family (the Kuhn split has 14: 6 axis, 6 consistent face
+    diagonals, 2 main diagonals).  Static python ints — consumed by
+    nn.gcn.LatticeAdjacency as a shift stencil.
+    """
+    if grid.resolution < 2:
+        return None
+    from ..tetgrid.topology import TET_EDGES
+
+    # Probe a small grid of the same family — the stencil is
+    # translation-invariant, so any strictly interior vertex works.
+    probe = build_tet_grid(min(grid.resolution, 4))
+    r = probe.resolution
+    n = r + 1
+    center = (r // 2) * n * n + (r // 2) * n + (r // 2)
+    e = probe.tets[:, TET_EDGES].reshape(-1, 2)
+    mask = (e[:, 0] == center) | (e[:, 1] == center)
+    nbrs = np.unique(e[mask])
+    nbrs = nbrs[nbrs != center]
+
+    def coords(i):
+        return (i // (n * n), (i // n) % n, i % n)
+
+    c0 = np.array(coords(center))
+    offs = sorted(
+        tuple(int(x) for x in (np.array(coords(int(i))) - c0))
+        for i in nbrs
+    )
+    assert all(max(abs(x) for x in o) <= 1 for o in offs)
+    return tuple(offs)
+
+
 def build_grid_statics(
     resolution: int,
     grid: TetGrid | None = None,
     topology: Topology | None = None,
 ) -> GridStatics:
-    """Build (or adopt) a grid + topology and lift to device arrays."""
+    """Build (or adopt) a grid + topology and lift to device arrays.
+
+    Prefers the native C++ builders (deftet_tpu.native) — ~10x faster on
+    large grids — with the numpy twins as fallback.
+    """
     if grid is None:
         grid = build_tet_grid(resolution)
     if topology is None:
-        topology = build_topology(grid.tets, grid.n_vertices)
+        try:
+            from ..native import build_topology_native, native_available
+
+            if native_available():
+                topology = build_topology_native(grid.tets, grid.n_vertices)
+        except Exception:
+            topology = None
+        if topology is None:
+            topology = build_topology(grid.tets, grid.n_vertices)
     init_pos = grid.centered_vertices().astype(np.float32)
     init_pos_j = jnp.asarray(init_pos)
     tet_tx4 = jnp.asarray(topology.tet_tx4)

@@ -31,16 +31,20 @@ import optax
 from ..config import TrainConfig
 from ..evals.metrics import iou
 from ..losses import (
-    amips_energy,
     boundary_faces_from_occupancy,
     delta_loss,
-    edge_length,
-    laplacian_loss,
     occupancy_bce,
     surface_align_losses,
-    volume_variance,
+)
+from ..losses.geometry import (
+    amips_energy_soa,
+    edge_length_soa,
+    gather_tet_soa,
+    tet_centers_soa,
+    volume_variance_soa,
 )
 from ..ops.check_sign import check_sign
+from ..ops.voxelize import occupancy_from_grid_soa
 from .statics import GridStatics
 
 
@@ -67,7 +71,12 @@ def create_train_state(
     dummy_inp = jnp.zeros((1, config.n_point, 3), jnp.float32)
     dummy_p = statics.init_pos_nx3[None]
     dummy_c = jnp.zeros((1, 8, 3), jnp.float32)
-    variables = model.init(rng, dummy_inp, dummy_p, dummy_c, train=False)
+    # jit the init: flax init traces eagerly otherwise, dispatching every
+    # op separately (minutes of round-trips on a remote TPU backend).
+    init_fn = jax.jit(
+        lambda r, a, b, c: model.init(r, a, b, c, train=False)
+    )
+    variables = init_fn(rng, dummy_inp, dummy_p, dummy_c)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(config)
@@ -79,9 +88,13 @@ def create_train_state(
 
 
 def _center_subsample_idx(key: jax.Array, n_tets: int, k: int) -> jnp.ndarray:
-    """k distinct tet indices (randperm-equivalent, pc_model.py:283-294)."""
-    scores = jax.random.uniform(key, (n_tets,))
-    return jax.lax.top_k(scores, k)[1].astype(jnp.int32)
+    """k random tet indices (pc_model.py:283-294 uses randperm; uniform
+    sampling WITH replacement is statistically equivalent at k << T and
+    avoids a top_k/sort over the full tet axis, which dominates XLA
+    compile time at T ~ 10^6)."""
+    if k >= n_tets:
+        return jnp.arange(n_tets, dtype=jnp.int32)
+    return jax.random.randint(key, (k,), 0, n_tets, dtype=jnp.int32)
 
 
 def _network_forward(
@@ -99,12 +112,13 @@ def _network_forward(
     pred_delta, tet_pos, ori_delta = module.decode_pos(
         init_pos_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj
     )
-    tet_verts = tet_pos[:, tet_tx4]             # (B, T, 4, 3)
-    centers = jnp.mean(tet_verts, axis=2)       # (B, T, 3)
-    logits = module.decode_occ(
-        centers[:, center_idx_k], pyr_occ, train=train
-    )                                           # (B, K)
-    return pred_delta, tet_pos, tet_verts, centers, logits
+    # Subsampled tet centers only — the full (B, T, 4, 3) corner tensor is
+    # never materialized (its tiny trailing dims pad ~40x on TPU); the
+    # full-grid per-tet work happens outside in SoA form.
+    sub_soa = gather_tet_soa(tet_pos, tet_tx4[center_idx_k])
+    sub_centers = jnp.stack(tet_centers_soa(sub_soa), axis=-1)  # (B, K, 3)
+    logits = module.decode_occ(sub_centers, pyr_occ, train=train)  # (B, K)
+    return pred_delta, tet_pos, logits
 
 
 def forward_losses(
@@ -115,6 +129,7 @@ def forward_losses(
     config: TrainConfig,
     rng: jax.Array,
     train: bool = True,
+    lattice_offsets=None,
 ):
     """Full forward. Returns ((total, aux-terms), mutated-variables)."""
     k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
@@ -138,13 +153,20 @@ def forward_losses(
     k = min(config.occ_sample, n_tets)
     center_idx = _center_subsample_idx(k_centers, n_tets, k)
 
-    from ..nn import VertexAdjacency
+    from ..nn import LatticeAdjacency, VertexAdjacency
 
-    adj = VertexAdjacency(
-        idx=statics.vert_adj_idx,
-        mask=statics.vert_adj_mask,
-        degree=statics.vert_degree,
-    )
+    if lattice_offsets is not None:
+        # Regular-grid fast path: neighbor mean as a 14-shift stencil on
+        # the vertex lattice (no multi-GB neighbor gathers).
+        adj = LatticeAdjacency(
+            offsets=lattice_offsets, degree=statics.vert_degree
+        )
+    else:
+        adj = VertexAdjacency(
+            idx=statics.vert_adj_idx,
+            mask=statics.vert_adj_mask,
+            degree=statics.vert_degree,
+        )
     rngs = {"dropout": k_drop} if train else {}
     out = model.apply(
         variables,
@@ -160,38 +182,73 @@ def forward_losses(
         mutable=["batch_stats"] if train else False,
     )
     if train:
-        (pred_delta, tet_pos, tet_verts, centers, logits), mutated = out
+        (pred_delta, tet_pos, logits), mutated = out
     else:
-        pred_delta, tet_pos, tet_verts, centers, logits = out
+        pred_delta, tet_pos, logits = out
         mutated = {}
 
-    # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49) ---
-    center_occ = check_sign(
-        batch["verts"], batch["faces"], centers,
-        n_valid_faces=batch["n_faces"],
-    )  # (B, T) float {0,1}
+    # Full-grid per-tet geometry in SoA form: every array is (B, T) with
+    # the big T axis in the TPU lane dimension.
+    soa = gather_tet_soa(tet_pos, statics.tet_tx4)
+    cx, cy, cz = tet_centers_soa(soa)
 
-    # --- geometric regularizers -------------------------------------------
-    vol = volume_variance(tet_verts, pow=config.pow)
-    amips = amips_energy(tet_verts, statics.rest_inverse_tx3x3)
-    edge = edge_length(tet_verts, pow=config.pow)
-    lap = laplacian_loss(
-        pred_delta, statics.vert_adj_idx, statics.vert_adj_mask,
-        statics.vert_degree,
+    # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49).
+    # "grid": one trilinear read of the offline occupancy texture (O(T));
+    # "check_sign": exact per-step ray parity like the reference (O(T*F)).
+    if config.occ_source == "grid" and "occ_grid" in batch:
+        center_occ = occupancy_from_grid_soa(batch["occ_grid"], cx, cy, cz)
+    else:
+        centers = jnp.stack([cx, cy, cz], axis=-1)
+        center_occ = check_sign(
+            batch["verts"], batch["faces"], centers,
+            n_valid_faces=batch["n_faces"],
+        )  # (B, T) float {0,1}
+
+    # --- geometric regularizers (terms with a zero weight are skipped at
+    # trace time — they never enter the compiled program) ------------------
+    b_zero = jnp.zeros((b,))
+    use_def = config.lambda_def > 0.0
+
+    def want(lam: float) -> bool:
+        return use_def and lam != 0.0
+
+    vol = (
+        volume_variance_soa(soa, pow=config.pow)
+        if want(config.lambda_area) else b_zero
     )
-    d_loss = delta_loss(pred_delta)
+    amips = (
+        amips_energy_soa(soa, statics.rest_inverse_tx3x3)
+        if want(config.lambda_amips) else b_zero
+    )
+    edge = (
+        edge_length_soa(soa, pow=config.pow)
+        if want(config.lambda_edge) else b_zero
+    )
+    lap = (
+        jnp.sum((adj.matmul(pred_delta) - pred_delta) ** 2, axis=(-1, -2))
+        if want(config.lambda_lap) else b_zero
+    )
+    d_loss = delta_loss(pred_delta) if want(config.lambda_delta) else b_zero
 
     # --- surface alignment over GT-occupancy boundary faces ----------------
-    faces_b, boundary_mask = boundary_faces_from_occupancy(
-        center_occ, statics.face_fx3, statics.face_tet_fx2
-    )
-    gt_surface = surface[:, : config.num_sample_points]
-    chamfer, analytic, normal = surface_align_losses(
-        k_surf, tet_pos, faces_b, boundary_mask, gt_surface,
-        statics.edge_pair_fa, statics.edge_pair_fb,
-        per_face_samples=config.per_face_samples,
-        max_boundary_faces=config.max_boundary_faces,
-    )
+    if want(config.lambda_surf) or want(config.lambda_surf_chamfer) or want(
+        config.lambda_normal
+    ):
+        faces_b, boundary_mask = boundary_faces_from_occupancy(
+            center_occ, statics.face_fx3, statics.face_tet_fx2
+        )
+        gt_surface = surface[:, : config.num_sample_points]
+        chamfer, analytic, normal = surface_align_losses(
+            k_surf, tet_pos, faces_b, boundary_mask, gt_surface,
+            statics.edge_pair_fa, statics.edge_pair_fb,
+            per_face_samples=config.per_face_samples,
+            max_boundary_faces=config.max_boundary_faces,
+            with_chamfer=want(config.lambda_surf_chamfer),
+            with_analytic=want(config.lambda_surf),
+            with_normal=want(config.lambda_normal),
+        )
+    else:
+        chamfer = analytic = normal = b_zero
 
     # --- occupancy BCE on the subsampled centers ---------------------------
     gt_occ = center_occ[:, center_idx]
@@ -230,7 +287,7 @@ def forward_losses(
     return (total, (terms, mutated))
 
 
-def make_train_step(model, tx, config: TrainConfig):
+def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
     """Build the jitted SPMD train step.
 
     `statics` is a runtime argument, NOT a closure capture: closed-over
@@ -245,7 +302,8 @@ def make_train_step(model, tx, config: TrainConfig):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             total, (terms, mutated) = forward_losses(
-                model, variables, batch, statics, config, rng, train=True
+                model, variables, batch, statics, config, rng, train=True,
+                lattice_offsets=lattice_offsets,
             )
             return total, (terms, mutated)
 
@@ -264,7 +322,7 @@ def make_train_step(model, tx, config: TrainConfig):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, config: TrainConfig):
+def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
     """Jitted validation step: loss terms + occupancy IoU, no grad."""
 
     def eval_step(state: TrainState, batch, rng, statics: GridStatics):
@@ -272,7 +330,8 @@ def make_eval_step(model, config: TrainConfig):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         total, (terms, _) = forward_losses(
-            model, variables, batch, statics, config, rng, train=False
+            model, variables, batch, statics, config, rng, train=False,
+            lattice_offsets=lattice_offsets,
         )
         terms["total"] = total
         return terms

@@ -94,5 +94,7 @@ def test_make_example_schema():
     rng = np.random.default_rng(3)
     verts, faces = make_box(rng)
     ex = make_example(verts, faces, 64, 32, rng)
-    assert set(ex) == {"surface_points", "sdf_points", "sdf", "verts", "faces"}
+    assert set(ex) == {
+        "surface_points", "sdf_points", "sdf", "occ_grid", "verts", "faces",
+    }
     assert ex["sdf"].shape == (32,)

@@ -1,0 +1,110 @@
+"""Eval-harness tests: masked area-weighted mesh sampling + the full
+inference/metrics pass on a tiny engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deftet_tpu.config import TrainConfig
+from deftet_tpu.data import ShapeDataset, batch_iterator, build_dataset
+from deftet_tpu.evals import make_inference_step, sample_mesh_points
+from deftet_tpu.train import Engine
+
+
+def test_sample_mesh_points_respects_mask_and_area():
+    # two triangles: unit in z=0 plane (masked IN), another far away
+    # (masked OUT): all samples must land on the first
+    face_pos = jnp.asarray(
+        [
+            [
+                [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                [[5, 5, 5], [6, 5, 5], [5, 6, 5]],
+            ]
+        ],
+        jnp.float32,
+    )
+    mask = jnp.asarray([[1.0, 0.0]])
+    pts = np.asarray(
+        sample_mesh_points(jax.random.PRNGKey(0), face_pos, mask, 256)
+    )[0]
+    assert (pts[:, 2] == 0).all()
+    assert pts.max() <= 1.0 + 1e-6
+    # barycentric validity
+    assert (pts[:, 0] + pts[:, 1] <= 1 + 1e-5).all()
+
+
+def test_sample_mesh_points_area_weighting():
+    # big triangle (area 8) vs small (area 0.5): ~94% of samples on big
+    face_pos = jnp.asarray(
+        [
+            [
+                [[0, 0, 0], [4, 0, 0], [0, 4, 0]],
+                [[10, 0, 0], [11, 0, 0], [10, 1, 0]],
+            ]
+        ],
+        jnp.float32,
+    )
+    mask = jnp.ones((1, 2))
+    pts = np.asarray(
+        sample_mesh_points(jax.random.PRNGKey(1), face_pos, mask, 1000)
+    )[0]
+    frac_big = float((pts[:, 0] < 8).mean())
+    assert frac_big > 0.88
+
+
+@pytest.fixture(scope="module")
+def tiny_engine_and_batch(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards_eval")
+    paths = build_dataset(
+        str(root), n_shapes=2, n_surface=512, n_sdf=256, seed=5, level=1
+    )
+    ds = ShapeDataset(paths)
+    cfg = TrainConfig(
+        res=4, batch_size=2, n_point=128, num_sample_points=256,
+        occ_sample=128, per_face_samples=4, max_boundary_faces=256,
+        encoder_blocks="8,1,8;16,1,4", gcn_hidden="16,8",
+        pos_mlp_hidden="8", occ_mlp_hidden="16,8",
+        logdir=str(tmp_path_factory.mktemp("exp_eval")),
+    )
+    eng = Engine(cfg)
+    batch = next(batch_iterator(ds, 2))
+    return eng, batch
+
+
+def test_inference_step_metrics_finite(tiny_engine_and_batch):
+    eng, batch = tiny_engine_and_batch
+    infer = make_inference_step(eng.model, eng.config)
+    out = infer(
+        eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+        eng.statics,
+    )
+    for k, v in out.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    assert 0.0 <= float(out["occ_iou"]) <= 1.0
+    assert 0.0 <= float(out["f_score"]) <= 1.0
+    assert float(out["chamfer"]) >= 0.0
+    assert float(out["hausdorff_max"]) >= float(out["hausdorff"]) - 1e-6
+
+
+def test_inference_improves_with_training(tiny_engine_and_batch):
+    """After some training the predicted-surface chamfer should beat the
+    untrained one (the occupancy head starts random)."""
+    eng, batch = tiny_engine_and_batch
+    infer = make_inference_step(eng.model, eng.config)
+    before = infer(
+        eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+        eng.statics,
+    )
+    for step in range(25):
+        state, _ = eng._train_step(
+            eng.state, eng._prep_batch(batch),
+            jax.random.PRNGKey(step), eng.statics,
+        )
+        eng.state = state
+    after = infer(
+        eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+        eng.statics,
+    )
+    assert float(after["occ_iou"]) >= float(before["occ_iou"]) - 0.05
+    assert np.isfinite(float(after["chamfer"]))

@@ -302,3 +302,48 @@ def test_boundary_subset_equivalence():
         np.asarray(full[2]), np.asarray(capped[2]), rtol=1e-5
     )  # normal
     assert np.isfinite(np.asarray(capped[0])).all()
+
+
+def test_soa_losses_match_tensor_versions():
+    from deftet_tpu.losses.geometry import (
+        amips_energy_soa,
+        edge_length_soa,
+        gather_tet_soa,
+        tet_centers_soa,
+        volume_variance_soa,
+        amips_energy,
+        edge_length,
+        volume_variance,
+    )
+
+    grid = build_tet_grid(2)
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(
+        (grid.centered_vertices()[None]
+         + rng.normal(scale=0.01, size=(2, grid.n_vertices, 3))
+         ).astype(np.float32)
+    )
+    tets = jnp.asarray(grid.tets)
+    inv = tet_rest_inverse(
+        jnp.asarray(grid.centered_vertices().astype(np.float32)), tets
+    )
+    tet_verts = pos[:, tets]
+    soa = gather_tet_soa(pos, tets)
+
+    np.testing.assert_allclose(
+        np.asarray(volume_variance_soa(soa)),
+        np.asarray(volume_variance(tet_verts)), rtol=1e-4, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(amips_energy_soa(soa, inv)),
+        np.asarray(amips_energy(tet_verts, inv)), rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(edge_length_soa(soa)),
+        np.asarray(edge_length(tet_verts)), rtol=1e-4,
+    )
+    centers = jnp.stack(tet_centers_soa(soa), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(centers), np.asarray(jnp.mean(tet_verts, axis=2)),
+        rtol=1e-5, atol=1e-7,
+    )

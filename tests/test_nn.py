@@ -145,3 +145,72 @@ def test_pos_mask_freezes_boundary():
     )
     boundary = np.asarray(mask)[0] == 0.0
     assert np.abs(np.asarray(delta)[0][boundary]).max() == 0.0
+
+
+def test_disn_encoder_decoder():
+    from deftet_tpu.nn.disn import (
+        DISNDecoder,
+        DISNEncoder,
+        bilinear_sample,
+        project_points,
+        sample_image_features,
+    )
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    enc = DISNEncoder(image_encoding_dim=64, local_feature_size=16)
+    vars_e = enc.init(jax.random.PRNGKey(0), img)
+    global_feat, maps = enc.apply(vars_e, img)
+    assert global_feat.shape == (1, 64)
+    assert len(maps) == 5
+    assert all(m.shape[1] == 16 and m.shape[2] == 16 for m in maps)
+    # local feature dim = 64+128+256+512+512 = 1472
+    assert sum(m.shape[-1] for m in maps) == 1472
+
+    # projection: identity camera maps (x, y, 1, .) -> (x, y)
+    pts = jnp.asarray([[[0.25, -0.5, 1.0]]])
+    cam = jnp.eye(4)[None]
+    xy = project_points(pts, cam)
+    np.testing.assert_allclose(np.asarray(xy)[0, 0], [0.25, -0.5], atol=1e-6)
+
+    # bilinear sampling of a constant map is constant; outside -> 0
+    const = jnp.full((1, 8, 8, 2), 3.0)
+    inside = bilinear_sample(const, jnp.asarray([[[0.0, 0.0]]]))
+    np.testing.assert_allclose(np.asarray(inside)[0, 0], [3.0, 3.0],
+                               atol=1e-5)
+    outside = bilinear_sample(const, jnp.asarray([[[5.0, 5.0]]]))
+    np.testing.assert_allclose(np.asarray(outside)[0, 0], [0.0, 0.0])
+
+    local = sample_image_features(maps, pts, cam)
+    assert local.shape == (1, 1, 1472)
+
+    dec = DISNDecoder(out_features=1)
+    vars_d = dec.init(jax.random.PRNGKey(1), pts, global_feat, local)
+    sdf = dec.apply(vars_d, pts, global_feat, local)
+    assert sdf.shape == (1, 1, 1)
+    assert np.isfinite(np.asarray(sdf)).all()
+
+
+def test_lattice_adjacency_matches_padded_gather():
+    from deftet_tpu.nn import LatticeAdjacency
+    from deftet_tpu.train.statics import lattice_offsets
+
+    grid = build_tet_grid(4)
+    adj = _adjacency(grid)
+    offs = lattice_offsets(grid)
+    assert offs is not None and len(offs) == 14
+    lat = LatticeAdjacency(
+        offsets=offs,
+        degree=jnp.asarray(
+            build_topology(grid.tets, grid.n_vertices).vert_degree
+        ),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(2, grid.n_vertices, 5)
+        ).astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat.matmul(x)), np.asarray(adj.matmul(x)),
+        rtol=1e-4, atol=1e-5,
+    )

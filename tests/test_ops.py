@@ -264,3 +264,28 @@ def test_devoxelize_grads_to_coords():
     gv, gc = jax.grad(loss, argnums=(0, 1))(vox, coords)
     assert np.abs(np.asarray(gv)).sum() > 0
     assert np.abs(np.asarray(gc)).sum() > 0
+
+
+def test_occupancy_from_grid_matches_check_sign():
+    """Grid-texture occupancy oracle vs exact ray parity on a blob."""
+    from deftet_tpu.data.pipeline import occupancy_grid
+    from deftet_tpu.data.shapes import random_shape
+    from deftet_tpu.ops import check_sign, occupancy_from_grid
+
+    verts, faces = random_shape(3, level=2)
+    grid = occupancy_grid(verts, faces, 48)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.52, 0.52, (2000, 3)).astype(np.float32)
+
+    exact = np.asarray(
+        check_sign(
+            jnp.asarray(verts)[None].astype(jnp.float32),
+            jnp.asarray(faces)[None],
+            jnp.asarray(pts)[None],
+        )
+    )[0]
+    approx = np.asarray(
+        occupancy_from_grid(jnp.asarray(grid)[None], jnp.asarray(pts)[None])
+    )[0]
+    agreement = float((exact == approx).mean())
+    assert agreement > 0.97, f"grid oracle agreement too low: {agreement}"
