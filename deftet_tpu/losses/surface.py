@@ -104,13 +104,55 @@ def normal_smoothness_loss(
     tet_pos_bxnx3: jnp.ndarray,
     faces_bxfx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
-    pair_a_p: jnp.ndarray,
-    pair_b_p: jnp.ndarray,
+    entry_face_e3f: jnp.ndarray,
+    entry_edge_e3f: jnp.ndarray,
+    n_edges: int,
 ) -> jnp.ndarray:
     """Mean (1 - n_a . n_b) over pairs of boundary faces sharing an edge;
     0 when no such pair exists (mesh_utils.py:29-39, fed by the C4
-    edge-pair adjacency).  `pair_a/b` are the precomputed face-pair index
-    lists (tetgrid.topology.build_edge_face_pairs)."""
+    edge-pair adjacency).
+
+    Uses the closed form of the pair sums via SORTED segment reductions
+    over the (face, edge) incidence entries — for unit normals:
+      sum_{i!=j} w_i w_j (1 - n_i.n_j) = s_w^2 - ||s_wn||^2   per edge,
+      sum_{i!=j} w_i w_j             = s_w^2 - s_w2,
+    where s_* are per-edge sums.  Sorted segment_sum forward + gather
+    backward replaces the per-pair gathers whose duplicate-index scatter
+    transpose cost ~5s/step at res-50.
+    """
+    nx, ny, nz = _face_normals_soa(tet_pos_bxnx3, faces_bxfx3)
+    ef = entry_face_e3f[None].astype(jnp.int32)
+
+    def seg(data_bxk):
+        return jax.vmap(
+            lambda d: jax.ops.segment_sum(
+                d, entry_edge_e3f, num_segments=n_edges,
+                indices_are_sorted=True,
+            )
+        )(data_bxk)
+
+    w = jnp.take_along_axis(boundary_mask_bxf, ef, 1)  # (B, 3F)
+    s_w = seg(w)
+    s_w2 = seg(w * w)
+    s_nx = seg(w * jnp.take_along_axis(nx, ef, 1))
+    s_ny = seg(w * jnp.take_along_axis(ny, ef, 1))
+    s_nz = seg(w * jnp.take_along_axis(nz, ef, 1))
+    total = jnp.sum(
+        s_w * s_w - (s_nx * s_nx + s_ny * s_ny + s_nz * s_nz), axis=1
+    )
+    count = jnp.sum(s_w * s_w - s_w2, axis=1)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
+def normal_smoothness_loss_pairs(
+    tet_pos_bxnx3: jnp.ndarray,
+    faces_bxfx3: jnp.ndarray,
+    boundary_mask_bxf: jnp.ndarray,
+    pair_a_p: jnp.ndarray,
+    pair_b_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """Explicit-pair reference implementation (oracle for the segment-sum
+    form; also usable when only pair lists are available)."""
     if pair_a_p.shape[0] == 0:
         return jnp.zeros(tet_pos_bxnx3.shape[0])
     nx, ny, nz = _face_normals_soa(tet_pos_bxnx3, faces_bxfx3)
@@ -171,8 +213,9 @@ def surface_align_losses(
     faces_bxfx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
     gt_surface_bxsx3: jnp.ndarray,
-    edge_pair_fa: jnp.ndarray,
-    edge_pair_fb: jnp.ndarray,
+    edge_entry_face: jnp.ndarray,
+    edge_entry_edge: jnp.ndarray,
+    n_edges: int = 0,
     per_face_samples: int = 20,
     nn_chunk: int = 2048,
     tri_chunk: int = 512,
@@ -202,7 +245,7 @@ def surface_align_losses(
     normal = (
         normal_smoothness_loss(
             tet_pos_bxnx3, faces_bxfx3, boundary_mask_bxf,
-            edge_pair_fa, edge_pair_fb,
+            edge_entry_face, edge_entry_edge, n_edges,
         )
         if with_normal else zero
     )

@@ -139,12 +139,17 @@ def build_topology_native(
     (the pair lists supersede it for the normal loss), so it is skipped
     by default — it is the slowest numpy builder on large grids.
     """
-    from ..tetgrid.topology import Topology, build_face_edge_incidence
+    from ..tetgrid.topology import (
+        Topology,
+        build_edge_entries,
+        build_face_edge_incidence,
+    )
 
     face_v, face_tet, face_slot, hull = build_faces_native(tets, n_point)
     idx, mask, deg = build_vertex_adjacency_native(tets, n_point)
     nbr = build_tet_neighbors_native(face_tet, face_slot, tets.shape[0])
     pa, pb = build_edge_face_pairs_native(face_v, n_point)
+    eef, eee, _ = build_edge_entries(face_v, n_point)
     if with_incidence:
         efi, efm = build_face_edge_incidence(face_v, n_point)
     else:
@@ -166,4 +171,6 @@ def build_topology_native(
         edge_face_mask=efm,
         edge_pair_fa=pa,
         edge_pair_fb=pb,
+        edge_entry_face=eef,
+        edge_entry_edge=eee,
     )

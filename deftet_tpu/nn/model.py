@@ -49,6 +49,46 @@ def sample_grid_features(
     return jnp.concatenate(feats, axis=-1)
 
 
+def _lattice_interp_matrix(n_axis: int, grid_res: int, vox_res: int):
+    """(n_axis, vox_res) trilinear weights of lattice vertex i at voxel
+    coordinate clip(i * r / res, 0, r - 1) — identical per axis."""
+    import numpy as np
+
+    c = np.clip(
+        np.arange(n_axis) * vox_res / float(grid_res), 0.0, vox_res - 1.0
+    )
+    f = np.floor(c).astype(np.int64)
+    t = c - f
+    w = np.zeros((n_axis, vox_res), np.float32)
+    w[np.arange(n_axis), f] += 1.0 - t
+    w[np.arange(n_axis), np.minimum(f + 1, vox_res - 1)] += t
+    return jnp.asarray(w)
+
+
+def sample_grid_features_lattice(
+    pyramid: Sequence[jnp.ndarray], grid_res: int, n_axis: int
+) -> jnp.ndarray:
+    """Exact sample_grid_features at ALL lattice vertices, as three
+    separable interpolation matmuls per pyramid level.
+
+    The tet-grid vertices form a regular (n_axis)^3 lattice, so trilinear
+    sampling of an r^3 voxel grid at every vertex is a tensor contraction
+    with a tiny dense (n_axis, r) weight matrix per axis — MXU work with a
+    matmul transpose for the backward, instead of 10^9-element gathers
+    whose scatter-add transpose dominates the step.  Returns
+    (B, n_axis^3, sum C) in vertex-lattice order (i*n^2 + j*n + k).
+    """
+    feats = []
+    for level in pyramid:
+        r = level.shape[1]
+        w = _lattice_interp_matrix(n_axis, grid_res, r)
+        y = jnp.einsum("xi,bijkc->bxjkc", w, level)
+        y = jnp.einsum("yj,bxjkc->bxykc", w, y)
+        y = jnp.einsum("zk,bxykc->bxyzc", w, y)
+        feats.append(y.reshape(y.shape[0], n_axis**3, y.shape[-1]))
+    return jnp.concatenate(feats, axis=-1)
+
+
 class DeformableTetNetwork(nn.Module):
     # Static fallback adjacency; pass `adj` to decode_pos/__call__ instead
     # when the arrays should be jit arguments rather than baked-in
@@ -96,14 +136,25 @@ class DeformableTetNetwork(nn.Module):
         pos_mask_bxnx3: Optional[jnp.ndarray] = None,
         train: bool = True,
         adj: Optional[VertexAdjacency] = None,
+        lattice_res: int = 0,
     ):
-        """Returns (pos_delta, tet_pos, ori_pos_delta)."""
+        """Returns (pos_delta, tet_pos, ori_pos_delta).
+
+        `lattice_res > 0` asserts that `p_bxnx3` is the UNDEFORMED vertex
+        lattice of a res-`lattice_res` grid in i*n^2+j*n+k order, enabling
+        the separable-matmul feature probe (exact, much faster than the
+        per-point gather)."""
         if not self.train_def:
             zero = jnp.zeros_like(p_bxnx3)
             return zero, p_bxnx3, zero
         if adj is None:
             adj = self.adj
-        feat = sample_grid_features(p_bxnx3, pyramid)
+        if lattice_res > 0:
+            feat = sample_grid_features_lattice(
+                pyramid, lattice_res, lattice_res + 1
+            )
+        else:
+            feat = sample_grid_features(p_bxnx3, pyramid)
         feat = jnp.concatenate([feat, p_bxnx3], axis=-1)
         delta = self.decoder_pos(feat, adj, train=train) * 0.1
         ori_delta = delta

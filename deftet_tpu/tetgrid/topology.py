@@ -145,6 +145,30 @@ def build_face_edge_incidence(face_fx3: np.ndarray, n_point: int):
     return idx, mask
 
 
+def build_edge_entries(face_fx3: np.ndarray, n_point: int):
+    """(face, edge) incidence entries sorted by edge id.
+
+    Returns (entry_face (3F,) int32, entry_edge (3F,) int32 ascending,
+    n_edges).  Feeds the segment-sum form of the normal-smoothness loss:
+    sorted segment ids make the per-edge reductions a fast sorted
+    segment_sum on TPU (unsorted scatter-adds with duplicate indices were
+    measured ~5s/step at res-50).
+    """
+    face_fx3 = np.asarray(face_fx3, dtype=np.int64)
+    edges = np.stack(
+        [face_fx3[:, [0, 1]], face_fx3[:, [1, 2]], face_fx3[:, [2, 0]]],
+        axis=1,
+    ).reshape(-1, 2)
+    lo = edges.min(axis=1)
+    hi = edges.max(axis=1)
+    key = lo * n_point + hi
+    uniq, inverse = np.unique(key, return_inverse=True)
+    order = np.argsort(inverse, kind="stable")
+    entry_face = (order // 3).astype(np.int32)
+    entry_edge = inverse[order].astype(np.int32)
+    return entry_face, entry_edge, int(uniq.size)
+
+
 def build_edge_face_pairs(face_fx3: np.ndarray, n_point: int):
     """Unordered pairs of interior faces sharing an (undirected) edge.
 
@@ -194,6 +218,8 @@ class Topology:
     edge_face_mask: np.ndarray   # (E, Me) float32
     edge_pair_fa: np.ndarray     # (P,) int32 — faces sharing an edge, side a
     edge_pair_fb: np.ndarray     # (P,) int32 — side b
+    edge_entry_face: np.ndarray  # (3F,) int32 — incidence entries...
+    edge_entry_edge: np.ndarray  # (3F,) int32 — ...sorted by edge id
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, **dataclasses.asdict(self))
@@ -219,6 +245,7 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
     nbr = build_tet_neighbors(face_tet_fx2, face_slot_fx2, tets.shape[0])
     efi, efm = build_face_edge_incidence(face_fx3, n_point)
     pa, pb = build_edge_face_pairs(face_fx3, n_point)
+    eef, eee, _ = build_edge_entries(face_fx3, n_point)
     return Topology(
         n_vertices=int(n_point),
         n_tets=int(tets.shape[0]),
@@ -235,4 +262,6 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
         edge_face_mask=efm,
         edge_pair_fa=pa,
         edge_pair_fb=pb,
+        edge_entry_face=eef,
+        edge_entry_edge=eee,
     )

@@ -24,8 +24,8 @@ class GridStatics(NamedTuple):
     tet_tx4: jnp.ndarray            # (T, 4) int32
     face_fx3: jnp.ndarray           # (F, 3) int32 interior faces
     face_tet_fx2: jnp.ndarray       # (F, 2) int32
-    edge_pair_fa: jnp.ndarray       # (P,) int32 faces sharing an edge
-    edge_pair_fb: jnp.ndarray       # (P,) int32
+    edge_entry_face: jnp.ndarray    # (3F,) int32 face-edge incidence...
+    edge_entry_edge: jnp.ndarray    # (3F,) int32 ...sorted by edge id
     vert_adj_idx: jnp.ndarray       # (N, M) int32
     vert_adj_mask: jnp.ndarray      # (N, M) float32
     vert_degree: jnp.ndarray        # (N,) int32
@@ -108,8 +108,8 @@ def build_grid_statics(
         tet_tx4=tet_tx4,
         face_fx3=jnp.asarray(topology.face_fx3),
         face_tet_fx2=jnp.asarray(topology.face_tet_fx2),
-        edge_pair_fa=jnp.asarray(topology.edge_pair_fa),
-        edge_pair_fb=jnp.asarray(topology.edge_pair_fb),
+        edge_entry_face=jnp.asarray(topology.edge_entry_face),
+        edge_entry_edge=jnp.asarray(topology.edge_entry_edge),
         vert_adj_idx=jnp.asarray(topology.vert_adj_idx),
         vert_adj_mask=jnp.asarray(topology.vert_adj_mask),
         vert_degree=jnp.asarray(topology.vert_degree),

@@ -99,7 +99,7 @@ def _center_subsample_idx(key: jax.Array, n_tets: int, k: int) -> jnp.ndarray:
 
 def _network_forward(
     module, inp_bxnx3, init_pos_bxnx3, tet_tx4, center_idx_k, pos_mask_bxnx3,
-    adj, train: bool,
+    adj, lattice_res: int, train: bool,
 ):
     """Single-apply forward over all submodules (one BatchNorm mutation).
 
@@ -110,7 +110,8 @@ def _network_forward(
     """
     pyr_pos, pyr_occ = module.encode(inp_bxnx3, train=train)
     pred_delta, tet_pos, ori_delta = module.decode_pos(
-        init_pos_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj
+        init_pos_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj,
+        lattice_res=lattice_res,
     )
     # Subsampled tet centers only — the full (B, T, 4, 3) corner tensor is
     # never materialized (its tiny trailing dims pad ~40x on TPU); the
@@ -130,6 +131,7 @@ def forward_losses(
     rng: jax.Array,
     train: bool = True,
     lattice_offsets=None,
+    n_edges: int = 0,
 ):
     """Full forward. Returns ((total, aux-terms), mutated-variables)."""
     k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
@@ -176,6 +178,7 @@ def forward_losses(
         center_idx,
         pos_mask,
         adj,
+        config.res if lattice_offsets is not None else 0,
         train,
         method=_network_forward,
         rngs=rngs,
@@ -240,7 +243,8 @@ def forward_losses(
         gt_surface = surface[:, : config.num_sample_points]
         chamfer, analytic, normal = surface_align_losses(
             k_surf, tet_pos, faces_b, boundary_mask, gt_surface,
-            statics.edge_pair_fa, statics.edge_pair_fb,
+            statics.edge_entry_face, statics.edge_entry_edge,
+            n_edges=n_edges,
             per_face_samples=config.per_face_samples,
             max_boundary_faces=config.max_boundary_faces,
             with_chamfer=want(config.lambda_surf_chamfer),
@@ -287,7 +291,8 @@ def forward_losses(
     return (total, (terms, mutated))
 
 
-def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
+def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
+                    n_edges: int = 0):
     """Build the jitted SPMD train step.
 
     `statics` is a runtime argument, NOT a closure capture: closed-over
@@ -303,7 +308,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
                 variables["batch_stats"] = state.batch_stats
             total, (terms, mutated) = forward_losses(
                 model, variables, batch, statics, config, rng, train=True,
-                lattice_offsets=lattice_offsets,
+                lattice_offsets=lattice_offsets, n_edges=n_edges,
             )
             return total, (terms, mutated)
 
@@ -322,7 +327,8 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
+def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
+                   n_edges: int = 0):
     """Jitted validation step: loss terms + occupancy IoU, no grad."""
 
     def eval_step(state: TrainState, batch, rng, statics: GridStatics):
@@ -331,7 +337,7 @@ def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
             variables["batch_stats"] = state.batch_stats
         total, (terms, _) = forward_losses(
             model, variables, batch, statics, config, rng, train=False,
-            lattice_offsets=lattice_offsets,
+            lattice_offsets=lattice_offsets, n_edges=n_edges,
         )
         terms["total"] = total
         return terms

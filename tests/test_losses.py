@@ -144,15 +144,16 @@ def test_normal_smoothness_flat_vs_bent():
         [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
     )
     faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
-    pair_a = jnp.asarray([0], jnp.int32)
-    pair_b = jnp.asarray([1], jnp.int32)
+    from deftet_tpu.tetgrid.topology import build_edge_entries
+
+    eef, eee, n_edges = build_edge_entries(faces, 4)
+    args = (jnp.asarray(eef), jnp.asarray(eee), n_edges)
     loss_flat = np.asarray(
         normal_smoothness_loss(
             jnp.asarray(verts)[None],
             jnp.asarray(faces)[None],
             jnp.ones((1, 2), jnp.float32),
-            pair_a,
-            pair_b,
+            *args,
         )
     )
     np.testing.assert_allclose(loss_flat, [0.0], atol=1e-6)
@@ -164,8 +165,7 @@ def test_normal_smoothness_flat_vs_bent():
             jnp.asarray(verts2)[None],
             jnp.asarray(faces)[None],
             jnp.ones((1, 2), jnp.float32),
-            pair_a,
-            pair_b,
+            *args,
         )
     )
     assert loss_bent[0] > 0.1
@@ -175,11 +175,23 @@ def test_normal_smoothness_flat_vs_bent():
             jnp.asarray(verts2)[None],
             jnp.asarray(faces)[None],
             jnp.asarray([[1.0, 0.0]]),
-            pair_a,
-            pair_b,
+            *args,
         )
     )
     np.testing.assert_allclose(loss_masked, [0.0], atol=1e-6)
+    # segment-sum form == explicit-pair oracle
+    from deftet_tpu.losses.surface import normal_smoothness_loss_pairs
+
+    oracle = np.asarray(
+        normal_smoothness_loss_pairs(
+            jnp.asarray(verts2)[None],
+            jnp.asarray(faces)[None],
+            jnp.ones((1, 2), jnp.float32),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([1], jnp.int32),
+        )
+    )
+    np.testing.assert_allclose(loss_bent, oracle, rtol=1e-5)
 
 
 def test_surface_align_losses_shapes_and_no_boundary():
@@ -205,8 +217,9 @@ def test_surface_align_losses_shapes_and_no_boundary():
         faces,
         mask,
         gt,
-        jnp.asarray(topo.edge_pair_fa),
-        jnp.asarray(topo.edge_pair_fb),
+        jnp.asarray(topo.edge_entry_face),
+        jnp.asarray(topo.edge_entry_edge),
+        n_edges=int(topo.edge_entry_edge.max()) + 1,
         per_face_samples=4,
         nn_chunk=64,
         tri_chunk=64,
@@ -284,7 +297,8 @@ def test_boundary_subset_equivalence():
     kwargs = dict(per_face_samples=4, nn_chunk=64, tri_chunk=64)
     full = surface_align_losses(
         jax.random.PRNGKey(0), verts, faces, mask, gt,
-        jnp.asarray(topo.edge_pair_fa), jnp.asarray(topo.edge_pair_fb),
+        jnp.asarray(topo.edge_entry_face), jnp.asarray(topo.edge_entry_edge),
+        n_edges=int(topo.edge_entry_edge.max()) + 1,
         **kwargs,
     )
     # Budget >= boundary count: analytic + normal identical; chamfer uses
@@ -292,7 +306,8 @@ def test_boundary_subset_equivalence():
     # face order changes, so compare via the same subset path twice.
     capped = surface_align_losses(
         jax.random.PRNGKey(0), verts, faces, mask, gt,
-        jnp.asarray(topo.edge_pair_fa), jnp.asarray(topo.edge_pair_fb),
+        jnp.asarray(topo.edge_entry_face), jnp.asarray(topo.edge_entry_edge),
+        n_edges=int(topo.edge_entry_edge.max()) + 1,
         max_boundary_faces=n_boundary + 4, **kwargs,
     )
     np.testing.assert_allclose(

@@ -214,3 +214,27 @@ def test_lattice_adjacency_matches_padded_gather():
         np.asarray(lat.matmul(x)), np.asarray(adj.matmul(x)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_lattice_feature_probe_matches_gather():
+    from deftet_tpu.nn.model import (
+        sample_grid_features,
+        sample_grid_features_lattice,
+    )
+
+    rng = np.random.default_rng(11)
+    res = 5
+    n = res + 1
+    pyramid = [
+        jnp.asarray(rng.normal(size=(2, 8, 8, 8, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 4, 4, 4, 2)).astype(np.float32)),
+    ]
+    grid = build_tet_grid(res)
+    p = jnp.asarray(
+        np.tile(grid.centered_vertices().astype(np.float32)[None], (2, 1, 1))
+    )
+    ref = sample_grid_features(p, pyramid)
+    fast = sample_grid_features_lattice(pyramid, res, n)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
