@@ -10,10 +10,13 @@ from .geometry import (
 )
 from .surface import (
     boundary_faces_from_occupancy,
+    boundary_info_from_occupancy,
     sample_surface_points,
     select_boundary_subset,
+    select_boundary_subset_static,
     surface_align_losses,
     normal_smoothness_loss,
+    normal_smoothness_loss_pairs,
     occupancy_bce,
 )
 
@@ -25,9 +28,12 @@ __all__ = [
     "laplacian_loss",
     "delta_loss",
     "boundary_faces_from_occupancy",
+    "boundary_info_from_occupancy",
     "sample_surface_points",
     "select_boundary_subset",
+    "select_boundary_subset_static",
     "surface_align_losses",
     "normal_smoothness_loss",
+    "normal_smoothness_loss_pairs",
     "occupancy_bce",
 ]

@@ -123,9 +123,29 @@ def delta_loss(pos_delta_bxnx3: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def gather_tet_soa(pos_bxnx3: jnp.ndarray, tet_tx4: jnp.ndarray):
+def gather_tet_soa(pos_bxnx3: jnp.ndarray, tet_tx4: jnp.ndarray,
+                   vert_tet_inc=None):
     """Per-corner, per-coordinate gathers: soa[k][c] is an (B, T) array
-    holding coordinate c of corner k."""
+    holding coordinate c of corner k.
+
+    With `vert_tet_inc` = (inc_idx, inc_mask) from
+    tetgrid.topology.build_vertex_tet_incidence, the backward becomes a
+    padded incidence gather instead of 12 duplicate-index scatter-adds.
+    """
+    if vert_tet_inc is not None:
+        from ..ops.geometry import incidence_gather
+
+        inc_idx, inc_mask = vert_tet_inc
+        t = tet_tx4.shape[0]
+        tet_flat = jnp.swapaxes(tet_tx4, 0, 1).reshape(-1)  # k-major (4T,)
+        soa = [[None] * 3 for _ in range(4)]
+        for c in range(3):
+            vals = incidence_gather(
+                pos_bxnx3[..., c], tet_flat, inc_idx, inc_mask
+            )  # (B, 4T)
+            for k in range(4):
+                soa[k][c] = vals[:, k * t:(k + 1) * t]
+        return soa
     cols = [pos_bxnx3[..., c] for c in range(3)]  # 3 x (B, N)
     return [
         [jnp.take_along_axis(

@@ -57,6 +57,22 @@ def boundary_faces_from_occupancy(
     return faces, mask
 
 
+def boundary_info_from_occupancy(
+    occ_bxt: jnp.ndarray, face_tet_fx2: jnp.ndarray
+):
+    """(mask (B,F), sign (B,F)) without materializing per-batch faces.
+
+    sign = -1 where the face orientation would be flipped (first owner
+    occupied, deftet.py:191-194): flipping a triangle negates its normal,
+    so downstream losses fold the sign into weights instead of gathering
+    re-oriented vertex indices."""
+    occ_a = occ_bxt[:, face_tet_fx2[:, 0]]
+    occ_b = occ_bxt[:, face_tet_fx2[:, 1]]
+    mask = ((occ_a + occ_b) == 1.0).astype(jnp.float32)
+    sign = 1.0 - 2.0 * occ_a
+    return mask, sign
+
+
 def sample_surface_points(
     key: jax.Array,
     face_pos_bxfx3x3: jnp.ndarray,
@@ -100,43 +116,78 @@ def _face_normals_soa(tet_pos_bxnx3, faces_bxfx3, eps: float = 1e-12):
     return nx * inv, ny * inv, nz * inv
 
 
+def _face_normals_soa_static(
+    tet_pos_bxnx3, face_fx3, inc_idx_nxm, inc_mask_nxm, eps: float = 1e-12
+):
+    """Unit normals of STATIC-orientation faces, via the scatter-free
+    incidence gather (backward is a padded gather over the vertex->face
+    incidence instead of a duplicate-index scatter)."""
+    from ..ops.geometry import incidence_gather
+
+    f = face_fx3.shape[0]
+    face_flat = face_fx3.T.reshape(-1)  # k-major (3F,)
+    comps = []
+    for c in range(3):
+        vals = incidence_gather(
+            tet_pos_bxnx3[..., c], face_flat, inc_idx_nxm, inc_mask_nxm
+        )  # (B, 3F)
+        comps.append([vals[:, k * f:(k + 1) * f] for k in range(3)])
+    e1 = [comps[c][1] - comps[c][0] for c in range(3)]
+    e2 = [comps[c][2] - comps[c][0] for c in range(3)]
+    nx = e1[1] * e2[2] - e1[2] * e2[1]
+    ny = e1[2] * e2[0] - e1[0] * e2[2]
+    nz = e1[0] * e2[1] - e1[1] * e2[0]
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + eps)
+    return nx * inv, ny * inv, nz * inv
+
+
 def normal_smoothness_loss(
     tet_pos_bxnx3: jnp.ndarray,
-    faces_bxfx3: jnp.ndarray,
+    face_fx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
-    entry_face_e3f: jnp.ndarray,
-    entry_edge_e3f: jnp.ndarray,
-    n_edges: int,
+    boundary_sign_bxf: jnp.ndarray,
+    edge_topo,
 ) -> jnp.ndarray:
     """Mean (1 - n_a . n_b) over pairs of boundary faces sharing an edge;
     0 when no such pair exists (mesh_utils.py:29-39, fed by the C4
     edge-pair adjacency).
 
-    Uses the closed form of the pair sums via SORTED segment reductions
-    over the (face, edge) incidence entries — for unit normals:
-      sum_{i!=j} w_i w_j (1 - n_i.n_j) = s_w^2 - ||s_wn||^2   per edge,
-      sum_{i!=j} w_i w_j             = s_w^2 - s_w2,
-    where s_* are per-edge sums.  Sorted segment_sum forward + gather
-    backward replaces the per-pair gathers whose duplicate-index scatter
-    transpose cost ~5s/step at res-50.
+    Fully scatter-free TPU formulation:
+      * normals are computed on the STATIC face orientation; the
+        occupancy-dependent flip (deftet.py:191-194) enters as a per-face
+        sign folded into the weights (flipping a face negates its normal).
+      * pair sums use the closed form (for unit normals)
+          sum_{i!=j} w_i w_j (1 - n_i.n_j) = s_w^2 - ||s_wsn||^2
+          sum_{i!=j} w_i w_j              = s_w^2 - s_w2
+        with per-edge sums s_* computed by sorted segment reductions whose
+        backward is a static (F, 3) edge-id gather (ops.geometry.
+        face_edge_sum).
+
+    `edge_topo` = (edge_face_idx, edge_face_mask, face_edge_ids,
+    vert_face_inc_idx, vert_face_inc_mask) — see tetgrid.topology.
     """
-    nx, ny, nz = _face_normals_soa(tet_pos_bxnx3, faces_bxfx3)
-    ef = entry_face_e3f[None].astype(jnp.int32)
+    from ..ops.geometry import edge_face_sum
 
-    def seg(data_bxk):
-        return jax.vmap(
-            lambda d: jax.ops.segment_sum(
-                d, entry_edge_e3f, num_segments=n_edges,
-                indices_are_sorted=True,
-            )
-        )(data_bxk)
+    (edge_face_idx, edge_face_mask, face_edge_ids,
+     inc_idx, inc_mask) = edge_topo
+    if edge_face_idx.shape[0] == 0:
+        return jnp.zeros(tet_pos_bxnx3.shape[0])
+    nx, ny, nz = _face_normals_soa_static(
+        tet_pos_bxnx3, face_fx3, inc_idx, inc_mask
+    )
+    w = jax.lax.stop_gradient(boundary_mask_bxf)
+    ws = w * jax.lax.stop_gradient(boundary_sign_bxf)
 
-    w = jnp.take_along_axis(boundary_mask_bxf, ef, 1)  # (B, 3F)
+    def seg(x_bxf):
+        return edge_face_sum(
+            x_bxf, edge_face_idx, edge_face_mask, face_edge_ids
+        )
+
     s_w = seg(w)
     s_w2 = seg(w * w)
-    s_nx = seg(w * jnp.take_along_axis(nx, ef, 1))
-    s_ny = seg(w * jnp.take_along_axis(ny, ef, 1))
-    s_nz = seg(w * jnp.take_along_axis(nz, ef, 1))
+    s_nx = seg(ws * nx)
+    s_ny = seg(ws * ny)
+    s_nz = seg(ws * nz)
     total = jnp.sum(
         s_w * s_w - (s_nx * s_nx + s_ny * s_ny + s_nz * s_nz), axis=1
     )
@@ -169,6 +220,31 @@ def normal_smoothness_loss_pairs(
     total = jnp.sum((1.0 - dot) * w, axis=1)
     count = jnp.sum(w, axis=1)
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
+def select_boundary_subset_static(
+    face_fx3: jnp.ndarray,
+    boundary_mask_bxf: jnp.ndarray,
+    max_faces: int,
+):
+    """select_boundary_subset for a batch-invariant (static-orientation)
+    face list; orientation does not affect distance losses."""
+    k = min(max_faces, boundary_mask_bxf.shape[1])
+    b = boundary_mask_bxf.shape[0]
+    pos = jnp.cumsum(boundary_mask_bxf, axis=1)
+    slot = jnp.where(
+        (boundary_mask_bxf > 0) & (pos <= k), pos - 1, k
+    ).astype(jnp.int32)
+    b_idx = jnp.arange(b)[:, None]
+    sel_faces = (
+        jnp.zeros((b, k + 1, 3), face_fx3.dtype)
+        .at[b_idx, slot].set(face_fx3[None])[:, :k]
+    )
+    sel_mask = (
+        jnp.zeros((b, k + 1), boundary_mask_bxf.dtype)
+        .at[b_idx, slot].set(boundary_mask_bxf)[:, :k]
+    )
+    return sel_faces, sel_mask
 
 
 def select_boundary_subset(
@@ -210,12 +286,11 @@ def select_boundary_subset(
 def surface_align_losses(
     key: jax.Array,
     tet_pos_bxnx3: jnp.ndarray,
-    faces_bxfx3: jnp.ndarray,
+    face_fx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
+    boundary_sign_bxf: jnp.ndarray,
     gt_surface_bxsx3: jnp.ndarray,
-    edge_entry_face: jnp.ndarray,
-    edge_entry_edge: jnp.ndarray,
-    n_edges: int = 0,
+    edge_topo,
     per_face_samples: int = 20,
     nn_chunk: int = 2048,
     tri_chunk: int = 512,
@@ -228,14 +303,19 @@ def surface_align_losses(
     `with_*` flags drop a term from the traced program entirely (its
     output is zeros).
 
+    Args use the STATIC face list (F, 3) plus per-batch (mask, sign) from
+    boundary_info_from_occupancy — distances are orientation-invariant
+    and the normal loss folds the sign into weights, so no per-batch face
+    tensor exists anywhere.  `edge_topo` is the tuple consumed by
+    normal_smoothness_loss.
+
     Returns (chamfer (B,), analytic (B,), normal (B,)).
     When a sample has no boundary faces, each of its terms is 1.0
     (deftet.py:162-166 returns ones).
 
     `max_boundary_faces > 0` caps the chamfer/analytic working set to a
-    static top-k boundary subset (see select_boundary_subset); the normal
-    smoothness term stays on the full face set (its `edge_pair_*` lists
-    index global face ids, and it needs no per-face sampling).
+    static compacted boundary subset; the normal smoothness term stays on
+    the full face set (it needs no per-face sampling).
     """
     b_idx = jnp.arange(tet_pos_bxnx3.shape[0])[:, None, None]
     n_boundary = jnp.sum(boundary_mask_bxf, axis=1)
@@ -244,20 +324,20 @@ def surface_align_losses(
     # --- Normal smoothness over edge-sharing boundary face pairs (full set).
     normal = (
         normal_smoothness_loss(
-            tet_pos_bxnx3, faces_bxfx3, boundary_mask_bxf,
-            edge_entry_face, edge_entry_edge, n_edges,
+            tet_pos_bxnx3, face_fx3, boundary_mask_bxf, boundary_sign_bxf,
+            edge_topo,
         )
         if with_normal else zero
     )
 
     if with_chamfer or with_analytic:
-        if 0 < max_boundary_faces < faces_bxfx3.shape[1]:
-            work_faces, work_mask = select_boundary_subset(
-                faces_bxfx3, boundary_mask_bxf, max_boundary_faces
+        if 0 < max_boundary_faces < face_fx3.shape[0]:
+            work_faces, work_mask = select_boundary_subset_static(
+                face_fx3, boundary_mask_bxf, max_boundary_faces
             )
             work_pos = tet_pos_bxnx3[b_idx, work_faces]
         else:
-            work_pos = tet_pos_bxnx3[b_idx, faces_bxfx3]
+            work_pos = tet_pos_bxnx3[:, face_fx3]
             work_mask = boundary_mask_bxf
 
     if with_chamfer:

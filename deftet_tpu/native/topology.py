@@ -131,7 +131,7 @@ def collapse_vertices_native(verts: np.ndarray, decimals: int = 5):
 
 
 def build_topology_native(
-    tets: np.ndarray, n_point: int, with_incidence: bool = False
+    tets: np.ndarray, n_point: int, with_incidence: bool = True
 ):
     """Native fast path mirroring tetgrid.topology.build_topology.
 
@@ -142,7 +142,10 @@ def build_topology_native(
     from ..tetgrid.topology import (
         Topology,
         build_edge_entries,
+        build_face_edge_ids,
         build_face_edge_incidence,
+        build_vertex_face_incidence,
+        build_vertex_tet_incidence,
     )
 
     face_v, face_tet, face_slot, hull = build_faces_native(tets, n_point)
@@ -150,6 +153,9 @@ def build_topology_native(
     nbr = build_tet_neighbors_native(face_tet, face_slot, tets.shape[0])
     pa, pb = build_edge_face_pairs_native(face_v, n_point)
     eef, eee, _ = build_edge_entries(face_v, n_point)
+    fei = build_face_edge_ids(face_v, n_point)
+    vfi, vfm = build_vertex_face_incidence(face_v, n_point)
+    vti, vtm = build_vertex_tet_incidence(tets, n_point)
     if with_incidence:
         efi, efm = build_face_edge_incidence(face_v, n_point)
     else:
@@ -173,4 +179,9 @@ def build_topology_native(
         edge_pair_fb=pb,
         edge_entry_face=eef,
         edge_entry_edge=eee,
+        face_edge_ids=fei,
+        vert_face_inc_idx=vfi,
+        vert_face_inc_mask=vfm,
+        vert_tet_inc_idx=vti,
+        vert_tet_inc_mask=vtm,
     )

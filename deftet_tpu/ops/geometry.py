@@ -8,6 +8,7 @@ XLA fuses the closed-form adjugate inverse over any batch size.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -70,6 +71,72 @@ def tet_rest_inverse(
     edge = tet_edge_matrix(tet, scale=scale)[0]
     inv, _ = safe_inverse3x3(edge)
     return inv
+
+
+@jax.custom_vjp
+def incidence_gather(values_bxn, idx_flat_k, inc_idx_nxm, inc_mask_nxm):
+    """values[:, idx_flat] with a scatter-free backward.
+
+    Forward: (B, N) gathered by a static index list -> (B, K).
+    Backward: instead of the default transpose (scatter-add with
+    duplicate indices — measured seconds per step on TPU at K ~ 5M), the
+    cotangent is accumulated by a padded gather over the precomputed
+    incidence (tetgrid.topology.build_vertex_face_incidence).
+    """
+    return jnp.take_along_axis(
+        values_bxn, idx_flat_k[None].astype(jnp.int32), axis=1
+    )
+
+
+def _incidence_gather_fwd(values, idx_flat, inc_idx, inc_mask):
+    out = incidence_gather(values, idx_flat, inc_idx, inc_mask)
+    return out, (inc_idx, inc_mask)
+
+
+def _incidence_gather_bwd(res, g):
+    inc_idx, inc_mask = res
+    gathered = jnp.take_along_axis(
+        g, inc_idx.reshape(-1)[None].astype(jnp.int32), axis=1
+    ).reshape(g.shape[0], *inc_idx.shape)  # (B, N, M)
+    grad_values = jnp.sum(gathered * inc_mask[None], axis=-1)
+    return (grad_values, None, None, None)
+
+
+incidence_gather.defvjp(_incidence_gather_fwd, _incidence_gather_bwd)
+
+
+@jax.custom_vjp
+def edge_face_sum(x_bxf, edge_face_idx, edge_face_mask, face_edge_ids):
+    """Per-edge sums of per-face values — gathers in BOTH directions.
+
+    Forward: out[b, e] = sum_m x[b, edge_face_idx[e, m]] * mask[e, m],
+    evaluated as M column gathers of (B, E) (no scatter, no (B, E, M)
+    tensor whose tiny M lane pads 20x).  Backward: each face touches
+    exactly its 3 edges, so the cotangent is g[:, face_edge_ids].sum(-1) —
+    a static (F, 3) gather.  segment_sum/scatter formulations of this
+    reduction cost ~2s/step at res-50; this one is ~free.
+    """
+    out = 0.0
+    for m in range(edge_face_idx.shape[1]):
+        vals = jnp.take_along_axis(
+            x_bxf, edge_face_idx[None, :, m].astype(jnp.int32), axis=1
+        )
+        out = out + vals * edge_face_mask[None, :, m]
+    return out
+
+
+def _edge_face_sum_fwd(x, efi, efm, fei):
+    return edge_face_sum(x, efi, efm, fei), fei
+
+
+def _edge_face_sum_bwd(fei, g):
+    gathered = jnp.take_along_axis(
+        g, fei.reshape(-1)[None].astype(jnp.int32), axis=1
+    ).reshape(g.shape[0], *fei.shape)  # (B, F, 3)
+    return (jnp.sum(gathered, axis=-1), None, None, None)
+
+
+edge_face_sum.defvjp(_edge_face_sum_fwd, _edge_face_sum_bwd)
 
 
 def face_normals(face_bxfx3x3: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

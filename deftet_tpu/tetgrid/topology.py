@@ -169,6 +169,72 @@ def build_edge_entries(face_fx3: np.ndarray, n_point: int):
     return entry_face, entry_edge, int(uniq.size)
 
 
+def build_face_edge_ids(face_fx3: np.ndarray, n_point: int) -> np.ndarray:
+    """(F, 3) edge id of each face's three edges (same edge numbering as
+    build_edge_entries).  The static transpose of the entry list: the
+    backward of a per-edge segment reduction over faces is a gather of
+    per-edge cotangents at these ids."""
+    face_fx3 = np.asarray(face_fx3, dtype=np.int64)
+    edges = np.stack(
+        [face_fx3[:, [0, 1]], face_fx3[:, [1, 2]], face_fx3[:, [2, 0]]],
+        axis=1,
+    ).reshape(-1, 2)
+    lo = edges.min(axis=1)
+    hi = edges.max(axis=1)
+    key = lo * n_point + hi
+    _, inverse = np.unique(key, return_inverse=True)
+    return inverse.reshape(-1, 3).astype(np.int32)
+
+
+def build_vertex_face_incidence(face_fx3: np.ndarray, n_point: int):
+    """Vertex -> incident face-corner slots, padded.
+
+    Slots are k-major: slot = k * F + f for corner k of face f (so corner
+    k's values occupy one contiguous block of a flat (3F,) gather).
+    Returns (inc_idx (N, M) int32, inc_mask (N, M) float32).  This is the
+    transpose of the face-corner gather: it lets the gather's backward be
+    a padded GATHER of output cotangents instead of a scatter-add with
+    duplicate indices (which is very slow on TPU).  Fills the role of the
+    reference's per-vertex face adjacency kernel (C5, tet_face_v_adj_m_idx).
+    """
+    face_fx3 = np.asarray(face_fx3, dtype=np.int64)
+    f = face_fx3.shape[0]
+    verts_flat = face_fx3.T.reshape(-1)  # k-major: corner0 faces, corner1...
+    order = np.argsort(verts_flat, kind="stable")
+    sorted_v = verts_flat[order]
+    counts = np.bincount(sorted_v, minlength=n_point)
+    max_m = int(counts.max()) if counts.size and f else 1
+    inc_idx = np.zeros((n_point, max_m), np.int32)
+    inc_mask = np.zeros((n_point, max_m), np.float32)
+    starts = _group_starts(counts)
+    pos = np.arange(order.shape[0]) - starts[sorted_v]
+    inc_idx[sorted_v, pos] = order.astype(np.int32)
+    inc_mask[sorted_v, pos] = 1.0
+    return inc_idx, inc_mask
+
+
+def build_vertex_tet_incidence(tets_tx4: np.ndarray, n_point: int):
+    """Vertex -> incident tet-corner slots (k-major: slot = k * T + t).
+
+    The transpose of the tet-corner gather — same scatter-free-backward
+    role as build_vertex_face_incidence, for the per-tet geometry losses.
+    Returns (inc_idx (N, M) int32, inc_mask (N, M) float32).
+    """
+    tets_tx4 = np.asarray(tets_tx4, dtype=np.int64)
+    verts_flat = tets_tx4.T.reshape(-1)
+    order = np.argsort(verts_flat, kind="stable")
+    sorted_v = verts_flat[order]
+    counts = np.bincount(sorted_v, minlength=n_point)
+    max_m = int(counts.max()) if counts.size and tets_tx4.size else 1
+    inc_idx = np.zeros((n_point, max_m), np.int32)
+    inc_mask = np.zeros((n_point, max_m), np.float32)
+    starts = _group_starts(counts)
+    pos = np.arange(order.shape[0]) - starts[sorted_v]
+    inc_idx[sorted_v, pos] = order.astype(np.int32)
+    inc_mask[sorted_v, pos] = 1.0
+    return inc_idx, inc_mask
+
+
 def build_edge_face_pairs(face_fx3: np.ndarray, n_point: int):
     """Unordered pairs of interior faces sharing an (undirected) edge.
 
@@ -220,6 +286,11 @@ class Topology:
     edge_pair_fb: np.ndarray     # (P,) int32 — side b
     edge_entry_face: np.ndarray  # (3F,) int32 — incidence entries...
     edge_entry_edge: np.ndarray  # (3F,) int32 — ...sorted by edge id
+    face_edge_ids: np.ndarray    # (F, 3) int32 edge id per face edge
+    vert_face_inc_idx: np.ndarray   # (N, M) int32 face-corner slots (k-major)
+    vert_face_inc_mask: np.ndarray  # (N, M) float32
+    vert_tet_inc_idx: np.ndarray    # (N, Mt) int32 tet-corner slots (k-major)
+    vert_tet_inc_mask: np.ndarray   # (N, Mt) float32
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, **dataclasses.asdict(self))
@@ -246,6 +317,9 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
     efi, efm = build_face_edge_incidence(face_fx3, n_point)
     pa, pb = build_edge_face_pairs(face_fx3, n_point)
     eef, eee, _ = build_edge_entries(face_fx3, n_point)
+    fei = build_face_edge_ids(face_fx3, n_point)
+    vfi, vfm = build_vertex_face_incidence(face_fx3, n_point)
+    vti, vtm = build_vertex_tet_incidence(tets, n_point)
     return Topology(
         n_vertices=int(n_point),
         n_tets=int(tets.shape[0]),
@@ -264,4 +338,9 @@ def build_topology(tets: np.ndarray, n_point: int) -> Topology:
         edge_pair_fb=pb,
         edge_entry_face=eef,
         edge_entry_edge=eee,
+        face_edge_ids=fei,
+        vert_face_inc_idx=vfi,
+        vert_face_inc_mask=vfm,
+        vert_tet_inc_idx=vti,
+        vert_tet_inc_mask=vtm,
     )

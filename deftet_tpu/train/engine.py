@@ -90,18 +90,12 @@ class Engine:
         # is the only distributed input.
         self.state = TrainState(*replicate(tuple(self.state), self.mesh))
         self.statics = GridStatics(*replicate(tuple(self.statics), self.mesh))
-        self._n_edges = (
-            int(np.asarray(self.statics.edge_entry_edge).max()) + 1
-            if self.statics.edge_entry_edge.size else 0
-        )
         self._train_step = make_train_step(
             self.model, self.tx, config,
             lattice_offsets=self._lattice_offsets,
-            n_edges=self._n_edges,
         )
         self._eval_step = make_eval_step(
             self.model, config, lattice_offsets=self._lattice_offsets,
-            n_edges=self._n_edges,
         )
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self.global_step = 0

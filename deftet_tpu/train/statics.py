@@ -24,8 +24,13 @@ class GridStatics(NamedTuple):
     tet_tx4: jnp.ndarray            # (T, 4) int32
     face_fx3: jnp.ndarray           # (F, 3) int32 interior faces
     face_tet_fx2: jnp.ndarray       # (F, 2) int32
-    edge_entry_face: jnp.ndarray    # (3F,) int32 face-edge incidence...
-    edge_entry_edge: jnp.ndarray    # (3F,) int32 ...sorted by edge id
+    edge_face_idx: jnp.ndarray      # (E, M) int32 faces incident per edge
+    edge_face_mask: jnp.ndarray     # (E, M) float32
+    face_edge_ids: jnp.ndarray      # (F, 3) int32
+    vert_face_inc_idx: jnp.ndarray  # (N, M) int32
+    vert_face_inc_mask: jnp.ndarray  # (N, M) float32
+    vert_tet_inc_idx: jnp.ndarray   # (N, Mt) int32
+    vert_tet_inc_mask: jnp.ndarray  # (N, Mt) float32
     vert_adj_idx: jnp.ndarray       # (N, M) int32
     vert_adj_mask: jnp.ndarray      # (N, M) float32
     vert_degree: jnp.ndarray        # (N,) int32
@@ -108,8 +113,13 @@ def build_grid_statics(
         tet_tx4=tet_tx4,
         face_fx3=jnp.asarray(topology.face_fx3),
         face_tet_fx2=jnp.asarray(topology.face_tet_fx2),
-        edge_entry_face=jnp.asarray(topology.edge_entry_face),
-        edge_entry_edge=jnp.asarray(topology.edge_entry_edge),
+        edge_face_idx=jnp.asarray(topology.edge_face_idx),
+        edge_face_mask=jnp.asarray(topology.edge_face_mask),
+        face_edge_ids=jnp.asarray(topology.face_edge_ids),
+        vert_face_inc_idx=jnp.asarray(topology.vert_face_inc_idx),
+        vert_face_inc_mask=jnp.asarray(topology.vert_face_inc_mask),
+        vert_tet_inc_idx=jnp.asarray(topology.vert_tet_inc_idx),
+        vert_tet_inc_mask=jnp.asarray(topology.vert_tet_inc_mask),
         vert_adj_idx=jnp.asarray(topology.vert_adj_idx),
         vert_adj_mask=jnp.asarray(topology.vert_adj_mask),
         vert_degree=jnp.asarray(topology.vert_degree),

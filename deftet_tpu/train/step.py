@@ -31,7 +31,7 @@ import optax
 from ..config import TrainConfig
 from ..evals.metrics import iou
 from ..losses import (
-    boundary_faces_from_occupancy,
+    boundary_info_from_occupancy,
     delta_loss,
     occupancy_bce,
     surface_align_losses,
@@ -131,7 +131,6 @@ def forward_losses(
     rng: jax.Array,
     train: bool = True,
     lattice_offsets=None,
-    n_edges: int = 0,
 ):
     """Full forward. Returns ((total, aux-terms), mutated-variables)."""
     k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
@@ -192,7 +191,10 @@ def forward_losses(
 
     # Full-grid per-tet geometry in SoA form: every array is (B, T) with
     # the big T axis in the TPU lane dimension.
-    soa = gather_tet_soa(tet_pos, statics.tet_tx4)
+    soa = gather_tet_soa(
+        tet_pos, statics.tet_tx4,
+        vert_tet_inc=(statics.vert_tet_inc_idx, statics.vert_tet_inc_mask),
+    )
     cx, cy, cz = tet_centers_soa(soa)
 
     # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49).
@@ -237,14 +239,18 @@ def forward_losses(
     if want(config.lambda_surf) or want(config.lambda_surf_chamfer) or want(
         config.lambda_normal
     ):
-        faces_b, boundary_mask = boundary_faces_from_occupancy(
-            center_occ, statics.face_fx3, statics.face_tet_fx2
+        boundary_mask, boundary_sign = boundary_info_from_occupancy(
+            center_occ, statics.face_tet_fx2
         )
         gt_surface = surface[:, : config.num_sample_points]
+        edge_topo = (
+            statics.edge_face_idx, statics.edge_face_mask,
+            statics.face_edge_ids, statics.vert_face_inc_idx,
+            statics.vert_face_inc_mask,
+        )
         chamfer, analytic, normal = surface_align_losses(
-            k_surf, tet_pos, faces_b, boundary_mask, gt_surface,
-            statics.edge_entry_face, statics.edge_entry_edge,
-            n_edges=n_edges,
+            k_surf, tet_pos, statics.face_fx3, boundary_mask,
+            boundary_sign, gt_surface, edge_topo,
             per_face_samples=config.per_face_samples,
             max_boundary_faces=config.max_boundary_faces,
             with_chamfer=want(config.lambda_surf_chamfer),
@@ -291,8 +297,7 @@ def forward_losses(
     return (total, (terms, mutated))
 
 
-def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
-                    n_edges: int = 0):
+def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
     """Build the jitted SPMD train step.
 
     `statics` is a runtime argument, NOT a closure capture: closed-over
@@ -308,7 +313,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
                 variables["batch_stats"] = state.batch_stats
             total, (terms, mutated) = forward_losses(
                 model, variables, batch, statics, config, rng, train=True,
-                lattice_offsets=lattice_offsets, n_edges=n_edges,
+                lattice_offsets=lattice_offsets,
             )
             return total, (terms, mutated)
 
@@ -327,8 +332,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
-                   n_edges: int = 0):
+def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
     """Jitted validation step: loss terms + occupancy IoU, no grad."""
 
     def eval_step(state: TrainState, batch, rng, statics: GridStatics):
@@ -337,7 +341,7 @@ def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
             variables["batch_stats"] = state.batch_stats
         total, (terms, _) = forward_losses(
             model, variables, batch, statics, config, rng, train=False,
-            lattice_offsets=lattice_offsets, n_edges=n_edges,
+            lattice_offsets=lattice_offsets,
         )
         terms["total"] = total
         return terms

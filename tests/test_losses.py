@@ -144,16 +144,29 @@ def test_normal_smoothness_flat_vs_bent():
         [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
     )
     faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
-    from deftet_tpu.tetgrid.topology import build_edge_entries
+    from deftet_tpu.tetgrid.topology import (
+        build_edge_entries,
+        build_face_edge_ids,
+        build_vertex_face_incidence,
+    )
 
-    eef, eee, n_edges = build_edge_entries(faces, 4)
-    args = (jnp.asarray(eef), jnp.asarray(eee), n_edges)
+    from deftet_tpu.tetgrid.topology import build_face_edge_incidence
+
+    efi, efm = build_face_edge_incidence(faces, 4)
+    fei = build_face_edge_ids(faces, 4)
+    vfi, vfm = build_vertex_face_incidence(faces, 4)
+    topo_args = (
+        jnp.asarray(efi), jnp.asarray(efm),
+        jnp.asarray(fei), jnp.asarray(vfi), jnp.asarray(vfm),
+    )
+    sign1 = jnp.ones((1, 2), jnp.float32)
     loss_flat = np.asarray(
         normal_smoothness_loss(
             jnp.asarray(verts)[None],
-            jnp.asarray(faces)[None],
+            jnp.asarray(faces),
             jnp.ones((1, 2), jnp.float32),
-            *args,
+            sign1,
+            topo_args,
         )
     )
     np.testing.assert_allclose(loss_flat, [0.0], atol=1e-6)
@@ -163,9 +176,10 @@ def test_normal_smoothness_flat_vs_bent():
     loss_bent = np.asarray(
         normal_smoothness_loss(
             jnp.asarray(verts2)[None],
-            jnp.asarray(faces)[None],
+            jnp.asarray(faces),
             jnp.ones((1, 2), jnp.float32),
-            *args,
+            sign1,
+            topo_args,
         )
     )
     assert loss_bent[0] > 0.1
@@ -173,15 +187,19 @@ def test_normal_smoothness_flat_vs_bent():
     loss_masked = np.asarray(
         normal_smoothness_loss(
             jnp.asarray(verts2)[None],
-            jnp.asarray(faces)[None],
+            jnp.asarray(faces),
             jnp.asarray([[1.0, 0.0]]),
-            *args,
+            sign1,
+            topo_args,
         )
     )
     np.testing.assert_allclose(loss_masked, [0.0], atol=1e-6)
     # segment-sum form == explicit-pair oracle
     from deftet_tpu.losses.surface import normal_smoothness_loss_pairs
 
+    # sign flip of one face must not change the loss value... it does
+    # change dot signs, matching a reversed orientation; compare oracle on
+    # same orientation first:
     oracle = np.asarray(
         normal_smoothness_loss_pairs(
             jnp.asarray(verts2)[None],
@@ -194,6 +212,17 @@ def test_normal_smoothness_flat_vs_bent():
     np.testing.assert_allclose(loss_bent, oracle, rtol=1e-5)
 
 
+
+
+def _edge_topo(topo):
+    return (
+        jnp.asarray(topo.edge_face_idx),
+        jnp.asarray(topo.edge_face_mask),
+        jnp.asarray(topo.face_edge_ids),
+        jnp.asarray(topo.vert_face_inc_idx),
+        jnp.asarray(topo.vert_face_inc_mask),
+    )
+
 def test_surface_align_losses_shapes_and_no_boundary():
     grid = build_tet_grid(2)
     topo = build_topology(grid.tets, grid.n_vertices)
@@ -201,10 +230,10 @@ def test_surface_align_losses_shapes_and_no_boundary():
     verts = jnp.tile(verts, (2, 1, 1))
     occ = np.zeros((2, grid.n_tets), np.float32)
     occ[0, :8] = 1.0  # sample 0 has a boundary; sample 1 none
-    faces, mask = boundary_faces_from_occupancy(
-        jnp.asarray(occ),
-        jnp.asarray(topo.face_fx3),
-        jnp.asarray(topo.face_tet_fx2),
+    from deftet_tpu.losses import boundary_info_from_occupancy
+
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
     )
     gt = jnp.asarray(
         np.random.default_rng(4).uniform(-0.5, 0.5, (2, 64, 3)).astype(
@@ -214,12 +243,11 @@ def test_surface_align_losses_shapes_and_no_boundary():
     ch, an, nm = surface_align_losses(
         jax.random.PRNGKey(0),
         verts,
-        faces,
+        jnp.asarray(topo.face_fx3),
         mask,
+        sign,
         gt,
-        jnp.asarray(topo.edge_entry_face),
-        jnp.asarray(topo.edge_entry_edge),
-        n_edges=int(topo.edge_entry_edge.max()) + 1,
+        _edge_topo(topo),
         per_face_samples=4,
         nn_chunk=64,
         tri_chunk=64,
@@ -277,15 +305,20 @@ def test_boundary_subset_equivalence():
     verts = jnp.asarray(grid.centered_vertices().astype(np.float32))[None]
     occ = np.zeros((1, grid.n_tets), np.float32)
     occ[0, :10] = 1.0
-    faces, mask = boundary_faces_from_occupancy(
-        jnp.asarray(occ),
-        jnp.asarray(topo.face_fx3),
-        jnp.asarray(topo.face_tet_fx2),
+    from deftet_tpu.losses import (
+        boundary_info_from_occupancy,
+        select_boundary_subset_static,
+    )
+
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
     )
     n_boundary = int(np.asarray(mask).sum())
     assert n_boundary > 0
 
-    sel_faces, sel_mask = select_boundary_subset(faces, mask, n_boundary + 4)
+    sel_faces, sel_mask = select_boundary_subset_static(
+        jnp.asarray(topo.face_fx3), mask, n_boundary + 4
+    )
     assert sel_mask.shape[1] == n_boundary + 4
     assert int(np.asarray(sel_mask).sum()) == n_boundary
 
@@ -296,18 +329,16 @@ def test_boundary_subset_equivalence():
     )
     kwargs = dict(per_face_samples=4, nn_chunk=64, tri_chunk=64)
     full = surface_align_losses(
-        jax.random.PRNGKey(0), verts, faces, mask, gt,
-        jnp.asarray(topo.edge_entry_face), jnp.asarray(topo.edge_entry_edge),
-        n_edges=int(topo.edge_entry_edge.max()) + 1,
+        jax.random.PRNGKey(0), verts, jnp.asarray(topo.face_fx3), mask,
+        sign, gt, _edge_topo(topo),
         **kwargs,
     )
     # Budget >= boundary count: analytic + normal identical; chamfer uses
     # different (but equally distributed) sample placements only when the
     # face order changes, so compare via the same subset path twice.
     capped = surface_align_losses(
-        jax.random.PRNGKey(0), verts, faces, mask, gt,
-        jnp.asarray(topo.edge_entry_face), jnp.asarray(topo.edge_entry_edge),
-        n_edges=int(topo.edge_entry_edge.max()) + 1,
+        jax.random.PRNGKey(0), verts, jnp.asarray(topo.face_fx3), mask,
+        sign, gt, _edge_topo(topo),
         max_boundary_faces=n_boundary + 4, **kwargs,
     )
     np.testing.assert_allclose(
