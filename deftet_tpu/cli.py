@@ -96,6 +96,8 @@ def eval_main(argv=None) -> int:
     parser.add_argument("--experiment_path", required=True)
     parser.add_argument("--checkpoint", default="best",
                         choices=["best", "last"])
+    parser.add_argument("--save_vis", action="store_true",
+                        help="dump predicted-surface OBJs for one batch")
     args = parser.parse_args(argv)
 
     experiment = Experiment.load(args.experiment_path)
@@ -111,19 +113,46 @@ def eval_main(argv=None) -> int:
 
     infer = make_inference_step(engine.model, config)
     sums, n = {}, 0
+    per_cat: dict = {}
+    vis_done = False
     for batch in batch_iterator(val_set, config.batch_size):
         out = infer(
             engine.state, engine._prep_batch(batch),
             jax.random.PRNGKey(config.seed), engine.statics,
         )
+        out = {k: float(v) for k, v in out.items()}
         for k, v in out.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
+            sums[k] = sums.get(k, 0.0) + v
         n += 1
+        # per-category accumulation (eval.py:310-349 result_update tables);
+        # batches are metric-averaged, so attribute to the batch's majority
+        # category (homogeneous for category-sorted datasets).
+        cats = batch.get("category")
+        if cats:
+            cat = max(set(cats), key=cats.count)
+            bucket = per_cat.setdefault(cat, {"n": 0})
+            bucket["n"] += 1
+            for k, v in out.items():
+                bucket[k] = bucket.get(k, 0.0) + v
+        if args.save_vis and not vis_done:
+            from .evals.harness import save_predicted_surface_objs
+
+            save_predicted_surface_objs(
+                engine.model, engine.state, engine._prep_batch(batch),
+                engine.statics, config,
+                experiment.file_path("vis_surface"),
+            )
+            vis_done = True
     metrics = {k: v / max(n, 1) for k, v in sums.items()}
+    per_category = {
+        cat: {k: v / b["n"] for k, v in b.items() if k != "n"}
+        for cat, b in per_cat.items()
+    }
     report = {
         "checkpoint": args.checkpoint,
         "val_losses": means,
         "metrics": metrics,
+        "per_category": per_category,
     }
     with open(experiment.file_path("result_update.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -17,6 +17,7 @@ from .shapes import (
     make_torus,
     normalize_mesh,
     random_shape,
+    shape_family,
 )
 from .pipeline import (
     sample_surface,
@@ -35,6 +36,7 @@ __all__ = [
     "make_torus",
     "normalize_mesh",
     "random_shape",
+    "shape_family",
     "sample_surface",
     "mesh_sdf_points",
     "make_example",

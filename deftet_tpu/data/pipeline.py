@@ -20,7 +20,7 @@ from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 
-from .shapes import random_shape
+from .shapes import random_shape, shape_family
 
 
 def sample_surface(
@@ -186,9 +186,11 @@ def build_dataset(
         paths.append(path)
         if os.path.exists(path):
             continue
-        verts, faces = random_shape(seed * 10007 + i, level=level)
+        shape_seed = seed * 10007 + i
+        verts, faces = random_shape(shape_seed, level=level)
         rng = np.random.default_rng(seed * 65537 + i)
         ex = make_example(verts, faces, n_surface, n_sdf, rng)
+        ex["category"] = np.str_(shape_family(shape_seed))
         np.savez_compressed(path, **ex)
     return paths
 
@@ -230,6 +232,8 @@ class ShapeDataset:
         }
         if "occ_grid" in ex:  # older caches may predate the grid oracle
             out["occ_grid"] = ex["occ_grid"]
+        if "category" in ex:
+            out["category"] = str(ex["category"])
         return out
 
 
@@ -249,6 +253,11 @@ def batch_iterator(
         if drop_last and idx.shape[0] < batch_size:
             return
         items = [dataset[int(i)] for i in idx]
-        yield {
-            k: np.stack([it[k] for it in items], axis=0) for k in items[0]
-        }
+        out = {}
+        for k in items[0]:
+            vals = [it[k] for it in items]
+            if isinstance(vals[0], str):
+                out[k] = vals  # non-numeric metadata rides as a list
+            else:
+                out[k] = np.stack(vals, axis=0)
+        yield out

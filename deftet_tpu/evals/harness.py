@@ -97,6 +97,77 @@ def decode_occ_full_grid(
     return logits.swapaxes(0, 1).reshape(b, -1)[:, :t]
 
 
+def extract_predicted_surface(
+    model, state, batch, statics: GridStatics, config: TrainConfig
+):
+    """(verts (B, N, 3), faces (B, K, 3), mask (B, K)) of the predicted
+    surface — tet positions + boundary faces of thresholded occupancy
+    (eval.py:236-237); used for --save_vis OBJ dumps."""
+    import numpy as np
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    surface = batch["surface_points"]
+    bsz = surface.shape[0]
+    inp = surface[:, : config.n_point]
+    init_pos = jnp.broadcast_to(
+        statics.init_pos_nx3[None], (bsz,) + statics.init_pos_nx3.shape
+    )
+    pos_mask = jnp.broadcast_to(
+        statics.pos_mask_nx3[None], (bsz,) + statics.pos_mask_nx3.shape
+    )
+    pyr_pos, pyr_occ = model.apply(
+        variables, inp, train=False, method=model.encode
+    )
+    from ..nn import VertexAdjacency
+
+    adj = VertexAdjacency(
+        idx=statics.vert_adj_idx,
+        mask=statics.vert_adj_mask,
+        degree=statics.vert_degree,
+    )
+    _, tet_pos, _ = model.apply(
+        variables, init_pos, pyr_pos, pos_mask,
+        train=False, adj=adj, method=model.decode_pos,
+    )
+    centers = jnp.mean(tet_pos[:, statics.tet_tx4], axis=2)
+    logits = decode_occ_full_grid(
+        model, variables, centers, pyr_occ,
+        chunk=min(100_000, statics.n_tets),
+    )
+    pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
+        jnp.float32
+    )
+    faces_b, mask_b = boundary_faces_from_occupancy(
+        pred_occ, statics.face_fx3, statics.face_tet_fx2
+    )
+    budget = config.max_boundary_faces or faces_b.shape[1]
+    work_faces, work_mask = select_boundary_subset(faces_b, mask_b, budget)
+    return (
+        np.asarray(tet_pos), np.asarray(work_faces), np.asarray(work_mask)
+    )
+
+
+def save_predicted_surface_objs(
+    model, state, batch, statics, config, out_prefix: str
+):
+    """Dump one OBJ per batch element (the --save_vis behaviour of
+    train_multigpu.py:183 / deftet.py:72-80)."""
+    from ..utils import save_obj
+
+    verts, faces, mask = extract_predicted_surface(
+        model, state, batch, statics, config
+    )
+    paths = []
+    for i in range(verts.shape[0]):
+        keep = mask[i] > 0
+        path = f"{out_prefix}_{i}.obj"
+        save_obj(path, verts[i], faces[i][keep])
+        paths.append(path)
+    return paths
+
+
 def make_inference_step(model, config: TrainConfig):
     """Jitted eval-forward: predicted occupancy + surface + all metrics."""
 

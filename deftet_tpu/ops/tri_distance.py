@@ -140,15 +140,25 @@ def point_to_mesh_squared_distance(
     if face_mask_bxf is None:
         face_mask_bxf = jnp.ones(tri.shape[:2], dtype=jnp.float32)
 
-    idx = jax.vmap(
-        lambda p, t, m: query_tiled(
-            lambda pc: _argmin_face_single(pc, t, m, chunk), p, query_chunk
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from .tri_distance_pallas import tri_argmin_pallas
+
+        idx = tri_argmin_pallas(pts, tri, face_mask_bxf)
+    else:
+        idx = jax.vmap(
+            lambda p, t, m: query_tiled(
+                lambda pc: _argmin_face_single(pc, t, m, chunk), p,
+                query_chunk,
+            )
+        )(
+            jax.lax.stop_gradient(pts),
+            jax.lax.stop_gradient(tri),
+            face_mask_bxf,
         )
-    )(
-        jax.lax.stop_gradient(pts),
-        jax.lax.stop_gradient(tri),
-        face_mask_bxf,
-    )
     # Differentiable recompute on the argmin face only.
     best_tri = jnp.take_along_axis(
         tri, idx[:, :, None, None].astype(jnp.int32), axis=1

@@ -17,6 +17,7 @@ design, not omission:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -38,6 +39,10 @@ from .step import (
     make_optimizer,
     make_train_step,
 )
+
+
+def _nullcontext():
+    return contextlib.nullcontext()
 
 
 class Engine:
@@ -98,6 +103,9 @@ class Engine:
             self.model, config, lattice_offsets=self._lattice_offsets,
         )
         self._rng = jax.random.PRNGKey(config.seed + 1)
+        from ..utils import TimingRegistry
+
+        self.timing = TimingRegistry(enabled=config.timing)
         self.global_step = 0
         self.best_iou = 0.0
         self.epoch = 0
@@ -113,8 +121,17 @@ class Engine:
             f.write(json.dumps(record) + "\n")
 
     def _prep_batch(self, batch: Dict[str, np.ndarray]):
+        def numeric(v) -> bool:
+            if isinstance(v, (str, list)):
+                return False
+            dt = getattr(v, "dtype", None)
+            return dt is None or np.issubdtype(dt, np.number) or np.issubdtype(
+                dt, np.bool_
+            )
+
         return shard_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+            {k: jnp.asarray(v) for k, v in batch.items() if numeric(v)},
+            self.mesh,
         )
 
     # ----------------------------------------------------------------- train
@@ -124,10 +141,15 @@ class Engine:
         n = 0
         t0 = time.perf_counter()
         for batch in batches:
-            state, terms = self._train_step(
-                self.state, self._prep_batch(batch), self._next_rng(),
-                self.statics,
-            )
+            with self.timing.region(
+                "train_step", block_on_fn=lambda: terms["total"]
+            ) if self.timing.enabled else _nullcontext():
+                state, terms = self._train_step(
+                    self.state, self._prep_batch(batch), self._next_rng(),
+                    self.statics,
+                )
+                if self.timing.enabled:
+                    float(terms["total"])  # honest sync for timing
             self.state = state
             self.global_step += 1
             n += 1
@@ -187,6 +209,8 @@ class Engine:
                 "global_step": self.global_step,
             }
         )
+        if self.timing.enabled:
+            self.timing.save(self.experiment.file_path("timing.json"))
 
     def restore(self, name: str = "last") -> None:
         tree = {

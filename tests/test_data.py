@@ -98,3 +98,19 @@ def test_make_example_schema():
         "surface_points", "sdf_points", "sdf", "occ_grid", "verts", "faces",
     }
     assert ex["sdf"].shape == (32,)
+
+
+def test_categories_in_records(tmp_path):
+    from deftet_tpu.data import ShapeDataset, batch_iterator, build_dataset
+
+    paths = build_dataset(
+        str(tmp_path / "cat"), n_shapes=4, n_surface=64, n_sdf=32,
+        seed=0, level=1,
+    )
+    ds = ShapeDataset(paths)
+    item = ds[0]
+    assert item["category"] in {"blob", "ellipsoid", "box", "torus"}
+    batch = next(batch_iterator(ds, 2))
+    assert isinstance(batch["category"], list)
+    assert len(batch["category"]) == 2
+    assert isinstance(batch["surface_points"], np.ndarray)

@@ -289,3 +289,47 @@ def test_occupancy_from_grid_matches_check_sign():
     )[0]
     agreement = float((exact == approx).mean())
     assert agreement > 0.97, f"grid oracle agreement too low: {agreement}"
+
+
+def test_pallas_nn_matches_xla_interpret():
+    """Fused pallas NN kernel vs the XLA oracle (interpret mode on CPU)."""
+    from deftet_tpu.ops.nearest import nearest_neighbor
+    from deftet_tpu.ops.nearest_pallas import nearest_neighbor_pallas
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 700, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-1, 1, (2, 300, 3)).astype(np.float32))
+    nv = jnp.asarray([300, 180], jnp.int32)
+    d_ref, i_ref = nearest_neighbor(q, r, nv, use_pallas=False)
+    d_pal, i_pal = nearest_neighbor_pallas(
+        q, r, nv, tile_p=256, m_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pal))
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_pal), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_tri_argmin_matches_xla_interpret():
+    from deftet_tpu.ops.tri_distance import (
+        point_to_mesh_squared_distance,
+        point_triangle_squared_distance,
+    )
+    from deftet_tpu.ops.tri_distance_pallas import tri_argmin_pallas
+
+    rng = np.random.default_rng(6)
+    pts = jnp.asarray(rng.uniform(-1, 1, (2, 300, 3)).astype(np.float32))
+    tri = jnp.asarray(rng.uniform(-1, 1, (2, 200, 3, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(2, 200)) > 0.3).astype(np.float32))
+    d_ref, _ = point_to_mesh_squared_distance(pts, tri, mask)
+    idx = tri_argmin_pallas(pts, tri, mask, tile_p=128, f_chunk=64,
+                            interpret=True)
+    sel = jnp.take_along_axis(
+        tri, idx[:, :, None, None].astype(jnp.int32), axis=1
+    )
+    d_pal = point_triangle_squared_distance(
+        pts, sel[..., 0, :], sel[..., 1, :], sel[..., 2, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_pal), rtol=1e-4, atol=1e-6
+    )
