@@ -91,34 +91,45 @@ class LatticeAdjacency:
 
 class GraphConv(nn.Module):
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_bxnxd, adj: VertexAdjacency):
-        self_term = nn.Dense(self.out_dim, name="self_filter")(x_bxnxd)
-        nbr_term = nn.Dense(self.out_dim, name="filter")(adj.matmul(x_bxnxd))
+        self_term = nn.Dense(
+            self.out_dim, name="self_filter", dtype=self.dtype
+        )(x_bxnxd)
+        nbr_term = nn.Dense(
+            self.out_dim, name="filter", dtype=self.dtype
+        )(adj.matmul(x_bxnxd))
         return self_term + nbr_term
 
 
 class GraphConvLayer(nn.Module):
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_bxnxd, adj: VertexAdjacency):
-        return GraphConv(self.out_dim)(nn.relu(x_bxnxd), adj)
+        return GraphConv(self.out_dim, dtype=self.dtype)(
+            nn.relu(x_bxnxd), adj
+        )
 
 
 class GraphConvBlock(nn.Module):
     hidden_dim: int
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_bxnxd, adj: VertexAdjacency):
-        net = GraphConvLayer(self.hidden_dim)(x_bxnxd, adj)
-        dx = GraphConvLayer(self.out_dim)(net, adj)
+        net = GraphConvLayer(self.hidden_dim, dtype=self.dtype)(x_bxnxd, adj)
+        dx = GraphConvLayer(self.out_dim, dtype=self.dtype)(net, adj)
         if x_bxnxd.shape[-1] == self.out_dim:
             shortcut = x_bxnxd
         else:
-            shortcut = nn.Dense(self.out_dim, name="shortcut")(x_bxnxd)
+            shortcut = nn.Dense(
+                self.out_dim, name="shortcut", dtype=self.dtype
+            )(x_bxnxd)
         return shortcut + dx
 
 
@@ -128,6 +139,7 @@ class GCNMLPDecoder(nn.Module):
     gcn_hidden: Sequence[int] = (256, 256, 128)
     mlp_hidden: Sequence[float] = (128, 0.2, 64)
     out_dim: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -136,18 +148,24 @@ class GCNMLPDecoder(nn.Module):
         adj: VertexAdjacency,
         train: bool = True,
     ):
-        x = nn.Dense(self.gcn_hidden[0], name="initial")(feat_bxnxd)
+        x = nn.Dense(
+            self.gcn_hidden[0], name="initial", dtype=self.dtype
+        )(feat_bxnxd)
         for i in range(len(self.gcn_hidden) - 1):
             x = GraphConvBlock(
-                hidden_dim=self.gcn_hidden[i], out_dim=self.gcn_hidden[i + 1]
+                hidden_dim=self.gcn_hidden[i],
+                out_dim=self.gcn_hidden[i + 1],
+                dtype=self.dtype,
             )(x, adj)
         for h in self.mlp_hidden:
             if h < 1:  # dropout probability slot (pv_utils.py:36-39)
                 x = nn.Dropout(rate=float(h), deterministic=not train)(x)
             else:
-                x = nn.Dense(int(h))(x)
+                x = nn.Dense(int(h), dtype=self.dtype)(x)
                 x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=self.dtype,
                 )(x)
                 x = nn.relu(x)
-        return nn.Dense(self.out_dim, name="head")(x)
+        out = nn.Dense(self.out_dim, name="head", dtype=self.dtype)(x)
+        return out.astype(jnp.float32)

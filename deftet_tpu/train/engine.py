@@ -79,6 +79,7 @@ class Engine:
         self.model = DeformableTetNetwork(
             adj=adj,
             blocks=config.parsed_blocks(),
+            dtype=jnp.bfloat16 if config.precision == "bf16" else None,
             use_two_encoder=config.use_two_encoder,
             scale_pos=config.scale_pos,
             scale_pvcnn=config.scale_pvcnn,

@@ -77,3 +77,43 @@ def test_run_pipeline_with_subdivision():
     assert records[2]["n_tets"] == 8 * records[1]["n_tets"]
     assert params["feat"].shape[0] == scene.n_points
     assert all(np.isfinite(r["mse"]) for r in records)
+
+
+def test_surface_obj_and_turntable(tmp_path):
+    import jax.numpy as jnp
+
+    from deftet_tpu.render.optimize import export_turntable
+    from deftet_tpu.utils import load_obj
+
+    grid = build_tet_grid(3)
+    scene = TetScene.from_grid(grid, coef=2.0)
+    params = scene.init_params()
+    # make a blob occupied: high alpha near the center
+    import numpy as np
+
+    base = scene.points_px3
+    r = np.linalg.norm(base, axis=1)
+    alpha_logit = np.where(r < 0.3, 5.0, -5.0).astype(np.float32)
+    params = {
+        "mov": params["mov"],
+        "feat": jnp.asarray(
+            np.concatenate(
+                [alpha_logit[:, None],
+                 np.zeros((base.shape[0], 3), np.float32)], axis=1
+            )
+        ),
+    }
+    obj = tmp_path / "surface.obj"
+    n_faces = scene.save_surface_obj(params, str(obj), threshold=0.4)
+    assert n_faces > 0
+    verts, faces = load_obj(str(obj))
+    assert faces.shape[0] == n_faces
+    assert np.isfinite(verts).all()
+
+    cfg = RenderOptConfig(tet_res=3, k=4)
+    gif = tmp_path / "turn.gif"
+    frames = export_turntable(
+        scene, params, (16, 16, 20.0), cfg, str(gif), n_frames=3
+    )
+    assert frames.shape == (3, 16, 16, 3)
+    assert gif.exists() and gif.stat().st_size > 0
