@@ -170,6 +170,22 @@ def make_example(
     }
 
 
+def _build_one_shard(args) -> str:
+    root, seed, i, n_surface, n_sdf, level = args
+    path = os.path.join(root, f"shape_{seed}_{i:05d}.npz")
+    if os.path.exists(path):
+        return path
+    shape_seed = seed * 10007 + i
+    verts, faces = random_shape(shape_seed, level=level)
+    rng = np.random.default_rng(seed * 65537 + i)
+    ex = make_example(verts, faces, n_surface, n_sdf, rng)
+    ex["category"] = np.str_(shape_family(shape_seed))
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **ex)
+    os.replace(tmp, path)
+    return path
+
+
 def build_dataset(
     root: str,
     n_shapes: int,
@@ -177,22 +193,34 @@ def build_dataset(
     n_sdf: int = 20000,
     seed: int = 0,
     level: int = 3,
+    num_workers: int = 8,
 ) -> List[str]:
-    """Generate + cache npz shards; returns the shard paths."""
+    """Generate + cache npz shards; returns the shard paths.
+
+    Preprocessing fans out over `num_workers` processes — the role of the
+    reference's 8 DataLoader workers (dataloader.py:199-207), but offline
+    and cached instead of per-epoch.
+    """
     os.makedirs(root, exist_ok=True)
-    paths = []
-    for i in range(n_shapes):
-        path = os.path.join(root, f"shape_{seed}_{i:05d}.npz")
-        paths.append(path)
-        if os.path.exists(path):
-            continue
-        shape_seed = seed * 10007 + i
-        verts, faces = random_shape(shape_seed, level=level)
-        rng = np.random.default_rng(seed * 65537 + i)
-        ex = make_example(verts, faces, n_surface, n_sdf, rng)
-        ex["category"] = np.str_(shape_family(shape_seed))
-        np.savez_compressed(path, **ex)
-    return paths
+    jobs = [
+        (root, seed, i, n_surface, n_sdf, level) for i in range(n_shapes)
+    ]
+    pending = [j for j in jobs if not os.path.exists(
+        os.path.join(root, f"shape_{seed}_{j[2]:05d}.npz")
+    )]
+    if pending and num_workers > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(num_workers, len(pending))) as pool:
+            pool.map(_build_one_shard, pending)
+    else:
+        for j in pending:
+            _build_one_shard(j)
+    return [
+        os.path.join(root, f"shape_{seed}_{i:05d}.npz")
+        for i in range(n_shapes)
+    ]
 
 
 class ShapeDataset:
