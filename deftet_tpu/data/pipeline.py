@@ -143,11 +143,43 @@ def occupancy_grid(
     centers_1d = -OCC_GRID_EXTENT + (np.arange(g) + 0.5) / g * (
         2 * OCC_GRID_EXTENT
     )
-    xx, yy, zz = np.meshgrid(centers_1d, centers_1d, centers_1d,
-                             indexing="ij")
-    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
-    occ = _check_sign_np(verts, faces, pts, chunk=8192)
-    return occ.reshape(g, g, g).astype(np.float32)
+    # Column algorithm: all g cells of a (x, y) column share one +z ray,
+    # so compute each column's triangle crossings once and read the
+    # parity per z — O(g^2 * F) instead of O(g^3 * F).
+    tri = verts[faces].astype(np.float64)
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    denom = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    safe = np.abs(denom) > 1e-14
+    denom = np.where(safe, denom, 1.0)
+
+    jitter = np.array([4.9e-7, 7.3e-7])
+    xs = centers_1d + jitter[0]
+    ys = centers_1d + jitter[1]
+    xx, yy = np.meshgrid(xs, ys, indexing="ij")
+    cols = np.stack([xx.ravel(), yy.ravel()], axis=1)  # (g^2, 2)
+
+    occ = np.zeros((g * g, g), np.float32)
+    chunk = max(1, 2_000_000 // max(tri.shape[0], 1))
+    for s in range(0, cols.shape[0], chunk):
+        cc = cols[s:s + chunk]
+        sx = cc[:, None, 0] - v0[None, :, 0]
+        sy = cc[:, None, 1] - v0[None, :, 1]
+        u = (sx * e2[None, :, 1] - sy * e2[None, :, 0]) / denom
+        v = (e1[None, :, 0] * sy - e1[None, :, 1] * sx) / denom
+        inside = (u >= 0) & (v >= 0) & (u + v <= 1) & safe[None, :]
+        z_hit = v0[None, :, 2] + u * e1[None, :, 2] + v * e2[None, :, 2]
+        z_hit = np.where(inside, z_hit, np.inf)
+        z_hit.sort(axis=1)
+        n_hits = inside.sum(axis=1)
+        # parity of crossings above each z-center
+        pos = np.apply_along_axis(
+            lambda r: np.searchsorted(r, centers_1d, side="right"),
+            1, z_hit,
+        )  # (chunk, g): finite hits <= z (inf padding never counts)
+        occ[s:s + chunk] = ((n_hits[:, None] - pos) % 2).astype(np.float32)
+    return occ.reshape(g, g, g)
 
 
 def make_example(

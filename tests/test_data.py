@@ -114,3 +114,21 @@ def test_categories_in_records(tmp_path):
     assert isinstance(batch["category"], list)
     assert len(batch["category"]) == 2
     assert isinstance(batch["surface_points"], np.ndarray)
+
+
+def test_occupancy_grid_column_algorithm_matches_pointwise():
+    from deftet_tpu.data.pipeline import (
+        OCC_GRID_EXTENT,
+        _check_sign_np,
+        occupancy_grid,
+    )
+    from deftet_tpu.data.shapes import random_shape
+
+    verts, faces = random_shape(7, level=1)
+    g = 16
+    grid = occupancy_grid(verts, faces, g)
+    c = -OCC_GRID_EXTENT + (np.arange(g) + 0.5) / g * (2 * OCC_GRID_EXTENT)
+    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
+    pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    ref = _check_sign_np(verts, faces, pts).reshape(g, g, g)
+    np.testing.assert_array_equal(grid, ref)
