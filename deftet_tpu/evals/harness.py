@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..config import TrainConfig
 from ..losses import boundary_faces_from_occupancy, select_boundary_subset
-from ..ops.point_tet import paste_occupancy, points_in_tets
+from ..losses.geometry import gather_tet_soa, tet_centers_soa
+from ..ops.point_tet import paste_occupancy, points_in_tets_soa
 from ..train.statics import GridStatics
 from .metrics import (
     chamfer_distance,
@@ -77,17 +78,27 @@ def sample_mesh_points(
 
 
 def decode_occ_full_grid(
-    model, variables, centers_bxtx3, pyramid, chunk: int = 100_000
+    model, variables, centers_soa, pyramid, chunk: int = 100_000
 ):
     """Chunked full-grid occupancy probabilities (split_decode_occ,
-    pc_model.py:332-366)."""
-    b, t = centers_bxtx3.shape[:2]
+    pc_model.py:332-366).  `centers_soa` = (cx, cy, cz) each (B, T) —
+    the (B, T, 3) stack is only materialized per chunk (a full stack
+    pads ~40x on TPU and OOMs at production grid sizes)."""
+    cx, cy, cz = centers_soa
+    b, t = cx.shape
     pad = (-t) % chunk
-    padded = jnp.pad(centers_bxtx3, ((0, 0), (0, pad), (0, 0)))
-    n_chunks = padded.shape[1] // chunk
-    tiles = padded.reshape(b, n_chunks, chunk, 3).swapaxes(0, 1)
 
-    def one(tile_bxcx3):
+    def pad_c(c):
+        return jnp.pad(c, ((0, 0), (0, pad)))
+
+    n_chunks = (t + pad) // chunk
+    tiles = tuple(
+        pad_c(c).reshape(b, n_chunks, chunk).swapaxes(0, 1)
+        for c in (cx, cy, cz)
+    )
+
+    def one(tile):
+        tile_bxcx3 = jnp.stack(tile, axis=-1)
         return model.apply(
             variables, tile_bxcx3, pyramid,
             train=False, method=model.decode_occ,
@@ -131,9 +142,12 @@ def extract_predicted_surface(
         variables, init_pos, pyr_pos, pos_mask,
         train=False, adj=adj, method=model.decode_pos,
     )
-    centers = jnp.mean(tet_pos[:, statics.tet_tx4], axis=2)
+    soa = gather_tet_soa(
+        tet_pos, statics.tet_tx4,
+        vert_tet_inc=(statics.vert_tet_inc_idx, statics.vert_tet_inc_mask),
+    )
     logits = decode_occ_full_grid(
-        model, variables, centers, pyr_occ,
+        model, variables, tet_centers_soa(soa), pyr_occ,
         chunk=min(100_000, statics.n_tets),
     )
     pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
@@ -204,12 +218,16 @@ def make_inference_step(model, config: TrainConfig):
             variables, init_pos, pyr_pos, pos_mask,
             train=False, adj=adj, method=model.decode_pos,
         )
-        tet_verts = tet_pos[:, statics.tet_tx4]
-        centers = jnp.mean(tet_verts, axis=2)
+        soa = gather_tet_soa(
+            tet_pos, statics.tet_tx4,
+            vert_tet_inc=(statics.vert_tet_inc_idx,
+                          statics.vert_tet_inc_mask),
+        )
+        centers_soa = tet_centers_soa(soa)
 
         # ---- full-grid occupancy + threshold ---------------------------
         logits = decode_occ_full_grid(
-            model, variables, centers, pyr_occ,
+            model, variables, centers_soa, pyr_occ,
             chunk=min(100_000, statics.n_tets),
         )
         pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
@@ -230,7 +248,7 @@ def make_inference_step(model, config: TrainConfig):
         # ---- occupancy IoU on SDF sample points (eval.py:239-241) ------
         sdf_pts = batch["sdf_points"]
         gt_inside = (batch["sdf"] > 0).astype(jnp.float32)
-        cond = points_in_tets(tet_verts, sdf_pts)
+        cond = points_in_tets_soa(soa, sdf_pts)
         pred_inside = paste_occupancy(pred_occ, cond) * (cond >= 0)
         occ_iou = jax.vmap(lambda p, t: iou(p, t, thresh=0.5))(
             pred_inside, gt_inside
