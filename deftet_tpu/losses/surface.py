@@ -126,12 +126,18 @@ def _face_normals_soa_static(
 
     f = face_fx3.shape[0]
     face_flat = face_fx3.T.reshape(-1)  # k-major (3F,)
-    comps = []
-    for c in range(3):
-        vals = incidence_gather(
-            tet_pos_bxnx3[..., c], face_flat, inc_idx_nxm, inc_mask_nxm
-        )  # (B, 3F)
-        comps.append([vals[:, k * f:(k + 1) * f] for k in range(3)])
+    b = tet_pos_bxnx3.shape[0]
+    # one gather for all three coordinates: fold xyz into the batch dim
+    stacked = jnp.swapaxes(tet_pos_bxnx3, 1, 2).reshape(
+        3 * b, tet_pos_bxnx3.shape[1]
+    )  # rows: b0.x, b0.y, b0.z, b1.x, ...
+    vals = incidence_gather(
+        stacked, face_flat, inc_idx_nxm, inc_mask_nxm
+    ).reshape(b, 3, -1)  # (B, 3, 3F)
+    comps = [
+        [vals[:, c, k * f:(k + 1) * f] for k in range(3)]
+        for c in range(3)
+    ]
     e1 = [comps[c][1] - comps[c][0] for c in range(3)]
     e2 = [comps[c][2] - comps[c][0] for c in range(3)]
     nx = e1[1] * e2[2] - e1[2] * e2[1]
@@ -178,16 +184,18 @@ def normal_smoothness_loss(
     w = jax.lax.stop_gradient(boundary_mask_bxf)
     ws = w * jax.lax.stop_gradient(boundary_sign_bxf)
 
-    def seg(x_bxf):
-        return edge_face_sum(
-            x_bxf, edge_face_idx, edge_face_mask, face_edge_ids
-        )
-
-    s_w = seg(w)
-    s_w2 = seg(w * w)
-    s_nx = seg(ws * nx)
-    s_ny = seg(ws * ny)
-    s_nz = seg(ws * nz)
+    # one batched reduction for all five per-edge sums (op-count matters:
+    # each reduction is M column gathers)
+    b = w.shape[0]
+    fields = jnp.concatenate(
+        [w, w * w, ws * nx, ws * ny, ws * nz], axis=0
+    )  # (5B, F)
+    sums = edge_face_sum(
+        fields, edge_face_idx, edge_face_mask, face_edge_ids
+    ).reshape(5, b, -1)
+    s_w, s_w2, s_nx, s_ny, s_nz = (
+        sums[0], sums[1], sums[2], sums[3], sums[4]
+    )
     total = jnp.sum(
         s_w * s_w - (s_nx * s_nx + s_ny * s_ny + s_nz * s_nz), axis=1
     )

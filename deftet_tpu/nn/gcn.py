@@ -22,6 +22,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..losses.geometry import neighbor_mean
@@ -78,12 +79,19 @@ class LatticeAdjacency:
             n += 1
         assert n**3 == n_verts, (n, n_verts)
         xg = x_bxnxd.reshape(b, n, n, n, c)
-        pad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-        out = jnp.zeros_like(xg)
+        # one depthwise 3x3x3 conv (binary stencil kernel) instead of 14
+        # pad+shift ops — the step is op-count-bound at production sizes
+        kern = np.zeros((3, 3, 3), np.float32)
         for dx, dy, dz in self.offsets:
-            out = out + jax.lax.dynamic_slice(
-                pad, (0, 1 + dx, 1 + dy, 1 + dz, 0), xg.shape
-            )
+            # output[i] sums input[i + off] => kernel tap at (1 - off)
+            kern[1 - dx, 1 - dy, 1 - dz] = 1.0
+        kern = jnp.asarray(kern, x_bxnxd.dtype)
+        rhs = jnp.broadcast_to(kern[..., None, None], (3, 3, 3, 1, c))
+        out = jax.lax.conv_general_dilated(
+            xg, rhs, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c,
+        )
         out = out.reshape(b, n_verts, c)
         deg = jnp.maximum(self.degree, 1).astype(x_bxnxd.dtype)
         return out / deg[None, :, None]
