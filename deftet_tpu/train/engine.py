@@ -171,10 +171,22 @@ class Engine:
     # ------------------------------------------------------------------ eval
     def validate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
         """Mean validation terms incl. occupancy IoU
-        (train_multigpu.py:321-413)."""
+        (train_multigpu.py:321-413).  With config.save_vis, dumps the
+        first batch's predicted surfaces as OBJs (the --save_vis flow of
+        train_multigpu.py:183)."""
         sums: Dict[str, float] = {}
         n = 0
         for batch in batches:
+            if n == 0 and self.config.save_vis:
+                from ..evals.harness import save_predicted_surface_objs
+
+                save_predicted_surface_objs(
+                    self.model, self.state, self._prep_batch(batch),
+                    self.statics, self.config,
+                    self.experiment.file_path(
+                        f"vis_{self.global_step}"
+                    ),
+                )
             terms = self._eval_step(
                 self.state, self._prep_batch(batch), self._next_rng(),
                 self.statics,

@@ -393,3 +393,57 @@ def test_soa_losses_match_tensor_versions():
         np.asarray(centers), np.asarray(jnp.mean(tet_verts, axis=2)),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_normal_loss_gradient_matches_pair_oracle():
+    """The scatter-free static-sign formulation must match the explicit
+    pair formulation in VALUE and GRADIENT wrt vertex positions, with a
+    flipped-orientation (sign = -1) face in play."""
+    from deftet_tpu.losses import (
+        boundary_info_from_occupancy,
+        normal_smoothness_loss,
+    )
+    from deftet_tpu.losses.surface import normal_smoothness_loss_pairs
+
+    grid = build_tet_grid(2)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    rng = np.random.default_rng(11)
+    occ = (rng.uniform(size=(2, grid.n_tets)) > 0.5).astype(np.float32)
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
+    )
+    assert float(jnp.sum((sign < 0) * mask)) > 0  # flips exercised
+
+    pos0 = jnp.asarray(
+        (grid.centered_vertices()[None]
+         + rng.normal(scale=0.02, size=(2, grid.n_vertices, 3))
+         ).astype(np.float32)
+    )
+    topo_args = _edge_topo(topo)
+
+    def loss_static(p):
+        return jnp.sum(
+            normal_smoothness_loss(
+                p, jnp.asarray(topo.face_fx3), mask, sign, topo_args
+            )
+        )
+
+    # pair oracle on per-batch ORIENTED faces (the reference's mechanics)
+    faces_b, _ = boundary_faces_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_fx3),
+        jnp.asarray(topo.face_tet_fx2),
+    )
+    pa = jnp.asarray(topo.edge_pair_fa)
+    pb = jnp.asarray(topo.edge_pair_fb)
+
+    def loss_pairs(p):
+        return jnp.sum(
+            normal_smoothness_loss_pairs(p, faces_b, mask, pa, pb)
+        )
+
+    v_s, g_s = jax.value_and_grad(loss_static)(pos0)
+    v_p, g_p = jax.value_and_grad(loss_pairs)(pos0)
+    np.testing.assert_allclose(float(v_s), float(v_p), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_p), rtol=1e-3, atol=1e-5
+    )

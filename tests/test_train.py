@@ -133,3 +133,19 @@ def test_data_parallel_8_devices(tiny_dataset, tmp_path):
         eng.state, sharded, jax.random.PRNGKey(0), eng.statics
     )
     assert np.isfinite(float(terms["total"]))
+
+
+def test_save_vis_during_validation(tiny_dataset, tmp_path):
+    cfg = TrainConfig(
+        logdir=str(tmp_path), save_vis=True, max_boundary_faces=64, **TINY
+    )
+    eng = Engine(cfg)
+    eng.validate(_batches(tiny_dataset, cfg))
+    import glob
+
+    objs = glob.glob(eng.experiment.file_path("vis_*.obj"))
+    assert len(objs) == cfg.batch_size
+    from deftet_tpu.utils import load_obj
+
+    verts, faces = load_obj(objs[0])
+    assert verts.shape[1] == 3
