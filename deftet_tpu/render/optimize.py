@@ -38,16 +38,17 @@ from .camera import camera_from_blender, pose_spherical
 from .scene import TetScene
 
 DEFAULT_WEIGHTS: Dict[str, float] = {
-    # expconfig.py / optim...py defaults
-    "weights_im_loss": 5.0,
-    "weights_mask_loss": 1.0,
+    # expconfig.py:106-145 argparse defaults (mask weighted ABOVE image)
+    "weights_im_loss": 1.0,
+    "weights_mask_loss": 2.0,
     "weights_mask_reg": 0.01,
-    "weights_point_mov": 1.0,
-    "weights_tetvariance": 2.5e8,
-    # per-channel feature-Laplacian weights: [rgb(3), alpha(1)]
-    "weights_vector": (0.01, 0.01, 0.01, 0.1),
-    # with grid motion an extra 3 channels for mov
-    "weights_vector_with_gridmov": (0.01, 0.01, 0.01, 0.1, 10.0, 10.0, 10.0),
+    "weights_point_mov": 0.01,
+    "weights_tetvariance": 0.0,
+    # per-channel feature-Laplacian weights [rgb(3)=color_reg, alpha=
+    # occ_lap]; both default 0 (optim...py:447-452)
+    "weights_vector": (0.0, 0.0, 0.0, 0.0),
+    # with grid motion: + 3 mov channels at weights_point_mov
+    "weights_vector_with_gridmov": (0.0, 0.0, 0.0, 0.0, 0.01, 0.01, 0.01),
 }
 
 
