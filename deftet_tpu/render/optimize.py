@@ -184,8 +184,9 @@ class RenderOptConfig:
     pixel_sampling: float = 0.04
     lr_feat: float = 5e-2
     lr_mov: float = 5e-4
-    delete_every: int = 500       # deletenum
-    delete_threshold: float = 0.1  # deletethres
+    delete_every: int = 1000       # deletenum (expconfig.py:71-74)
+    delete_threshold: float = 1e-3  # deletethres (expconfig.py:75-78)
+    carve_dilation: int = 3        # neighbourlayer (3_model/deftet.py:35)
     subdiv_threshold: Optional[float] = None
     k: int = 10
     raster_chunk: int = 1024
@@ -306,7 +307,7 @@ def optimize_stage(
     for i in range(steps):
         if i > 0 and (i % cfg.delete_every == cfg.delete_every - 1):
             if scene.carve(params, cfg.delete_threshold,
-                           neighbor_levels=1):
+                           neighbor_levels=cfg.carve_dilation):
                 step_fn = make_render_step(
                     scene, weights, gridmov, cfg, opt_feat, opt_mov
                 )
