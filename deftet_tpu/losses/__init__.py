@@ -19,8 +19,13 @@ from .surface import (
     normal_smoothness_loss_pairs,
     occupancy_bce,
 )
+from .frustum import kl_loss, huber_loss, get_box_corners_3d, FrustumPointNetLoss
 
 __all__ = [
+    "kl_loss",
+    "huber_loss",
+    "get_box_corners_3d",
+    "FrustumPointNetLoss",
     "tet_volumes",
     "volume_variance",
     "amips_energy",

@@ -10,8 +10,18 @@ from .gcn import (
 )
 from .mlp import MLPDecoder
 from .model import DeformableTetNetwork, sample_grid_features
+from .pointnet import (
+    BallQueryGrouper,
+    PointNetAModule,
+    PointNetSAModule,
+    PointNetFPModule,
+)
 
 __all__ = [
+    "BallQueryGrouper",
+    "PointNetAModule",
+    "PointNetSAModule",
+    "PointNetFPModule",
     "PVConv",
     "SharedMLP",
     "SE3d",
