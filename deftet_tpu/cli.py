@@ -160,7 +160,108 @@ def eval_main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":  # python -m deftet_tpu.cli train|eval ...
+def render_main(argv=None) -> int:
+    """2D-supervision optimization entry point (the diff_render app,
+    optim_with_mask_subdiv_from_gridmov.py:403-521).  Flag names follow
+    6_optim/expconfig.py; data comes from a NeRF-synthetic scene dir
+    (--datadir) or a self-contained procedural GT scene (--synthetic)."""
+    _maybe_force_platform()
+    from .render.optimize import (
+        DEFAULT_WEIGHTS,
+        RenderOptConfig,
+        evaluate_psnr,
+        load_blender,
+        make_synthetic_scene,
+        run_pipeline,
+    )
+
+    parser = argparse.ArgumentParser(prog="deftet-render")
+    parser.add_argument("--expname", default="scene")
+    parser.add_argument("--savedir", default="./render_out")
+    parser.add_argument("--datadir", default=None,
+                        help="NeRF-synthetic scene dir (transforms_*.json)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use the procedural GT scene instead of data")
+    parser.add_argument("--n_views", type=int, default=16)
+    parser.add_argument("--image_size", type=int, default=100)
+    parser.add_argument("--half_res", action="store_true", default=True)
+    parser.add_argument("--tetres", type=int, default=40)
+    parser.add_argument("--tetcoef", type=float, default=2.5)
+    parser.add_argument("--sublevel", type=int, default=2)
+    parser.add_argument("--deletenum", type=int, default=1000)
+    parser.add_argument("--deletethres", type=float, default=1e-3)
+    parser.add_argument("--optfixnum", type=int, default=3000)
+    parser.add_argument("--optmovnum", type=int, default=2000)
+    parser.add_argument("--lrfix", type=float, default=5e-2)
+    parser.add_argument("--lrmov", type=float, default=5e-4)
+    parser.add_argument("--pixelsampling", type=float, default=0.04)
+    parser.add_argument("--peel_k", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    for name, default in (
+        ("weights_im_loss", 1.0), ("weights_mask_loss", 2.0),
+        ("weights_mask_reg", 1e-2), ("weights_occ_lap", 0.0),
+        ("weights_color_reg", 0.0), ("weights_point_mov", 1e-2),
+        ("weights_tetvariance", 0.0),
+    ):
+        parser.add_argument(f"--{name}", type=float, default=default)
+    args = parser.parse_args(argv)
+
+    if args.datadir:
+        images, poses, hwf, i_split = load_blender(
+            args.datadir, half_res=args.half_res
+        )
+    else:
+        images, poses, hwf, i_split = make_synthetic_scene(
+            n_views=args.n_views, height=args.image_size,
+            width=args.image_size, seed=args.seed, coef=args.tetcoef,
+        )
+
+    weights = dict(DEFAULT_WEIGHTS)
+    weights.update(
+        weights_im_loss=args.weights_im_loss,
+        weights_mask_loss=args.weights_mask_loss,
+        weights_mask_reg=args.weights_mask_reg,
+        weights_point_mov=args.weights_point_mov,
+        weights_tetvariance=args.weights_tetvariance,
+        # per-channel feature-laplacian vector [rgb=color_reg, alpha=occ_lap]
+        weights_vector=(
+            (args.weights_color_reg,) * 3 + (args.weights_occ_lap,)
+        ),
+        weights_vector_with_gridmov=(
+            (args.weights_color_reg,) * 3 + (args.weights_occ_lap,)
+            + (args.weights_point_mov,) * 3
+        ),
+    )
+    cfg = RenderOptConfig(
+        tet_res=args.tetres, coef=args.tetcoef, sublevels=args.sublevel,
+        steps_fix=args.optfixnum, steps_mov=args.optmovnum,
+        pixel_sampling=args.pixelsampling, lr_feat=args.lrfix,
+        lr_mov=args.lrmov, delete_every=args.deletenum,
+        delete_threshold=args.deletethres, k=args.peel_k, seed=args.seed,
+    )
+    outdir = os.path.join(args.savedir, args.expname)
+    os.makedirs(outdir, exist_ok=True)
+    scene, params, records = run_pipeline(
+        images, poses, hwf, i_split, cfg, weights=weights
+    )
+    mse, psnr = evaluate_psnr(
+        scene, params, images, poses, hwf, i_split[2], cfg
+    )
+    with open(os.path.join(outdir, "records.json"), "w") as f:
+        json.dump({"stages": records, "final_mse": mse,
+                   "final_psnr": psnr}, f, indent=2)
+    from .render.optimize import export_turntable
+
+    scene.save_surface_obj(params, os.path.join(outdir, "surface.obj"))
+    export_turntable(
+        scene, params, hwf, cfg,
+        os.path.join(outdir, f"rgb-mse{mse:.3f}-psnr{psnr:.3f}.gif"),
+    )
+    print(json.dumps({"mse": mse, "psnr": psnr, "outdir": outdir}))
+    return 0
+
+
+if __name__ == "__main__":  # python -m deftet_tpu.cli train|eval|render ...
     cmd = sys.argv[1] if len(sys.argv) > 1 else "train"
-    fn = train_main if cmd == "train" else eval_main
+    fn = {"train": train_main, "eval": eval_main, "render": render_main}[cmd]
     sys.exit(fn(sys.argv[2:]))

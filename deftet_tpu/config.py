@@ -68,6 +68,11 @@ class TrainConfig:
     # "check_sign" runs the exact per-step ray-parity test like the
     # reference (O(T * F_gt)).
     occ_source: str = "grid"
+    # Texture read mode for occ_source="grid": "nearest" is one gather
+    # (the default; labels are thresholded to {0,1} either way),
+    # "trilinear" is the 8-corner stencil (sub-half-voxel smoother, ~11%
+    # slower full step at res-50).
+    occ_grid_interp: str = "nearest"
     occ_sample: int = 10000        # random tet centers per step (use_mask)
     occ_threshold: float = 0.4     # pred_threshold
     iou_logit_threshold: float = 0.1  # parallel.py:238 thresh=.1 on logits

@@ -230,6 +230,31 @@ def normal_smoothness_loss_pairs(
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
 
 
+def _compact_indices(boundary_mask_bxf: jnp.ndarray, k: int):
+    """First-k stream compaction as a searchsorted, all gathers.
+
+    rank[i] = cumsum(mask)[i] is non-decreasing, so the index of the
+    j-th boundary face (0-based) is searchsorted(rank, j+1, 'left').
+    A scatter formulation of this compaction serializes: the ~F-k
+    discarded faces all collide on one slot (measured 0.03 GiB/s,
+    ~92 ms/step at res-50).  searchsorted is O(k log F) gathers.
+
+    Returns (idx (B, k) int32 — clamped garbage past the boundary
+    count — and valid (B, k) float mask).
+    """
+    rank = jnp.cumsum(boundary_mask_bxf.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k + 1, dtype=rank.dtype)
+    idx = jax.vmap(
+        lambda r: jnp.searchsorted(r, targets, side="left")
+    )(rank).astype(jnp.int32)
+    n = rank[:, -1]
+    valid = (
+        jnp.arange(k, dtype=n.dtype)[None] < n[:, None]
+    ).astype(boundary_mask_bxf.dtype)
+    idx = jnp.minimum(idx, boundary_mask_bxf.shape[1] - 1)
+    return idx, valid
+
+
 def select_boundary_subset_static(
     face_fx3: jnp.ndarray,
     boundary_mask_bxf: jnp.ndarray,
@@ -238,19 +263,10 @@ def select_boundary_subset_static(
     """select_boundary_subset for a batch-invariant (static-orientation)
     face list; orientation does not affect distance losses."""
     k = min(max_faces, boundary_mask_bxf.shape[1])
-    b = boundary_mask_bxf.shape[0]
-    pos = jnp.cumsum(boundary_mask_bxf, axis=1)
-    slot = jnp.where(
-        (boundary_mask_bxf > 0) & (pos <= k), pos - 1, k
-    ).astype(jnp.int32)
-    b_idx = jnp.arange(b)[:, None]
-    sel_faces = (
-        jnp.zeros((b, k + 1, 3), face_fx3.dtype)
-        .at[b_idx, slot].set(face_fx3[None])[:, :k]
-    )
+    idx, valid = _compact_indices(boundary_mask_bxf, k)
+    sel_faces = face_fx3[idx]  # (B, k, 3)
     sel_mask = (
-        jnp.zeros((b, k + 1), boundary_mask_bxf.dtype)
-        .at[b_idx, slot].set(boundary_mask_bxf)[:, :k]
+        jnp.take_along_axis(boundary_mask_bxf, idx, axis=1) * valid
     )
     return sel_faces, sel_mask
 
@@ -271,22 +287,15 @@ def select_boundary_subset(
     ~r.
     """
     k = min(max_faces, boundary_mask_bxf.shape[1])
-    b = boundary_mask_bxf.shape[0]
-    # Stream-compact the first k boundary faces via cumsum + scatter —
-    # equivalent to top_k on the 0/1 mask (ties broken by index) but
-    # compiles to one scatter instead of a full sort over F entries.
-    pos = jnp.cumsum(boundary_mask_bxf, axis=1)          # 1-indexed rank
-    slot = jnp.where(
-        (boundary_mask_bxf > 0) & (pos <= k), pos - 1, k
-    ).astype(jnp.int32)                                  # k = discard slot
-    b_idx = jnp.arange(b)[:, None]
-    sel_faces = (
-        jnp.zeros((b, k + 1, 3), faces_bxfx3.dtype)
-        .at[b_idx, slot].set(faces_bxfx3)[:, :k]
+    # Stream-compact the first k boundary faces; searchsorted over the
+    # cumsum rank (see _compact_indices — the scatter form serializes on
+    # the discard slot).
+    idx, valid = _compact_indices(boundary_mask_bxf, k)
+    sel_faces = jnp.take_along_axis(
+        faces_bxfx3, idx[:, :, None], axis=1
     )
     sel_mask = (
-        jnp.zeros((b, k + 1), boundary_mask_bxf.dtype)
-        .at[b_idx, slot].set(boundary_mask_bxf)[:, :k]
+        jnp.take_along_axis(boundary_mask_bxf, idx, axis=1) * valid
     )
     return sel_faces, sel_mask
 

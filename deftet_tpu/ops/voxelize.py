@@ -161,16 +161,32 @@ def occupancy_from_grid_soa(
     y_bxp: jnp.ndarray,
     z_bxp: jnp.ndarray,
     threshold: float = 0.5,
+    interp: str = "trilinear",
 ) -> jnp.ndarray:
-    """SoA-coordinate variant of occupancy_from_grid."""
+    """SoA-coordinate variant of occupancy_from_grid.
+
+    interp="nearest" reads the single nearest voxel instead of the
+    8-corner trilinear stencil.  The output is thresholded to {0, 1}
+    either way, so the two differ only within half a voxel of the
+    surface — but nearest is ONE gather instead of eight (the trilinear
+    corner gathers measured ~124 ms/step at res-50/bs-4, ~11% of the
+    whole train step)."""
     g = occ_grid_bxgxgxg.shape[1]
 
     def to_vox(c):
         c = jax.lax.stop_gradient(c)
         return (c + OCC_GRID_EXTENT) / (2 * OCC_GRID_EXTENT) * g - 0.5
 
-    vals = _trilinear_scalar_soa(
-        occ_grid_bxgxgxg.astype(jnp.float32),
-        to_vox(x_bxp), to_vox(y_bxp), to_vox(z_bxp),
-    )
+    cx, cy, cz = to_vox(x_bxp), to_vox(y_bxp), to_vox(z_bxp)
+    grid = occ_grid_bxgxgxg.astype(jnp.float32)
+    if interp == "nearest":
+        b = grid.shape[0]
+        flat = grid.reshape(b, g * g * g)
+        ix, iy, iz = (
+            jnp.clip(jnp.round(c), 0, g - 1).astype(jnp.int32)
+            for c in (cx, cy, cz)
+        )
+        vals = jnp.take_along_axis(flat, ix * (g * g) + iy * g + iz, axis=1)
+    else:
+        vals = _trilinear_scalar_soa(grid, cx, cy, cz)
     return (vals > threshold).astype(jnp.float32)

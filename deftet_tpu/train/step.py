@@ -201,7 +201,10 @@ def forward_losses(
     # "grid": one trilinear read of the offline occupancy texture (O(T));
     # "check_sign": exact per-step ray parity like the reference (O(T*F)).
     if config.occ_source == "grid" and "occ_grid" in batch:
-        center_occ = occupancy_from_grid_soa(batch["occ_grid"], cx, cy, cz)
+        center_occ = occupancy_from_grid_soa(
+            batch["occ_grid"], cx, cy, cz,
+            interp=getattr(config, "occ_grid_interp", "trilinear"),
+        )
     else:
         centers = jnp.stack([cx, cy, cz], axis=-1)
         center_occ = check_sign(
