@@ -16,6 +16,7 @@ from .surface import (
     select_boundary_subset_static,
     surface_align_losses,
     normal_smoothness_loss,
+    normal_smoothness_loss_compacted,
     normal_smoothness_loss_pairs,
     occupancy_bce,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "select_boundary_subset_static",
     "surface_align_losses",
     "normal_smoothness_loss",
+    "normal_smoothness_loss_compacted",
     "normal_smoothness_loss_pairs",
     "occupancy_bce",
 ]

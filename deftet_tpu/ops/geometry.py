@@ -126,14 +126,22 @@ def edge_face_sum(x_bxf, edge_face_idx, edge_face_mask, face_edge_ids):
 
 
 def _edge_face_sum_fwd(x, efi, efm, fei):
-    return edge_face_sum(x, efi, efm, fei), fei
+    # residuals must be JAX types: carry the primal dtype in an empty array
+    return edge_face_sum(x, efi, efm, fei), (fei, jnp.zeros((0,), x.dtype))
 
 
-def _edge_face_sum_bwd(fei, g):
+def _edge_face_sum_bwd(res, g):
+    fei, dtype_token = res
+    x_dtype = dtype_token.dtype
+    # gather the cotangent at the primal's precision: for bf16 fields the
+    # random-access gather bytes (the whole cost) halve too
     gathered = jnp.take_along_axis(
-        g, fei.reshape(-1)[None].astype(jnp.int32), axis=1
+        g.astype(x_dtype), fei.reshape(-1)[None].astype(jnp.int32), axis=1
     ).reshape(g.shape[0], *fei.shape)  # (B, F, 3)
-    return (jnp.sum(gathered, axis=-1), None, None, None)
+    return (
+        jnp.sum(gathered.astype(jnp.float32), axis=-1).astype(x_dtype),
+        None, None, None,
+    )
 
 
 edge_face_sum.defvjp(_edge_face_sum_fwd, _edge_face_sum_bwd)

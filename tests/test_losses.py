@@ -344,8 +344,10 @@ def test_boundary_subset_equivalence():
     np.testing.assert_allclose(
         np.asarray(full[1]), np.asarray(capped[1]), rtol=1e-5
     )  # analytic
+    # the capped path computes normals on the subset and reduces edge
+    # sums in bf16 (normal_smoothness_loss_compacted) — bf16 tolerance
     np.testing.assert_allclose(
-        np.asarray(full[2]), np.asarray(capped[2]), rtol=1e-5
+        np.asarray(full[2]), np.asarray(capped[2]), rtol=1e-2
     )  # normal
     assert np.isfinite(np.asarray(capped[0])).all()
 
@@ -446,4 +448,56 @@ def test_normal_loss_gradient_matches_pair_oracle():
     np.testing.assert_allclose(float(v_s), float(v_p), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(g_s), np.asarray(g_p), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_normal_loss_compacted_matches_full_set():
+    """The subset-scatter + bf16 edge-reduction formulation must match the
+    full-set normal loss in value and vertex gradient (bf16 tolerance)."""
+    from deftet_tpu.losses import (
+        boundary_info_from_occupancy,
+        normal_smoothness_loss,
+        normal_smoothness_loss_compacted,
+    )
+    from deftet_tpu.losses.surface import select_boundary_subset_static
+
+    grid = build_tet_grid(3)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    rng = np.random.default_rng(13)
+    occ = (rng.uniform(size=(2, grid.n_tets)) > 0.5).astype(np.float32)
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
+    )
+    pos0 = jnp.asarray(
+        (grid.centered_vertices()[None]
+         + rng.normal(scale=0.02, size=(2, grid.n_vertices, 3))
+         ).astype(np.float32)
+    )
+    topo_args = _edge_topo(topo)
+    budget = int(topo.face_fx3.shape[0]) - 1  # compacted but lossless
+    assert float(jnp.max(jnp.sum(mask, axis=1))) <= budget
+    face_fx3 = jnp.asarray(topo.face_fx3)
+    b_idx = jnp.arange(2)[:, None, None]
+
+    def loss_full(p):
+        return jnp.sum(
+            normal_smoothness_loss(p, face_fx3, mask, sign, topo_args)
+        )
+
+    def loss_compact(p):
+        sel_faces, sel_mask, sel_idx = select_boundary_subset_static(
+            face_fx3, mask, budget, return_idx=True
+        )
+        work_pos = p[b_idx, sel_faces]
+        return jnp.sum(
+            normal_smoothness_loss_compacted(
+                work_pos, sel_idx, sel_mask, mask, sign, topo_args
+            )
+        )
+
+    v_f, g_f = jax.value_and_grad(loss_full)(pos0)
+    v_c, g_c = jax.value_and_grad(loss_compact)(pos0)
+    np.testing.assert_allclose(float(v_f), float(v_c), rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_c), rtol=0.1, atol=2e-3
     )
