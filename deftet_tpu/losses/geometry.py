@@ -155,6 +155,43 @@ def gather_tet_soa(pos_bxnx3: jnp.ndarray, tet_tx4: jnp.ndarray,
     ]
 
 
+def gather_tet_soa_lattice(pos_bxnx3: jnp.ndarray, res: int, offsets):
+    """gather_tet_soa for the type-major regular grid — zero gathers.
+
+    ``offsets`` is the static ((6, 4, 3)) corner-offset table from
+    train.statics.lattice_tet_offsets.  Corner (type, k) of every tet is
+    vertex (i+di, j+dj, k+dk), so each of the at-most-8 distinct offsets
+    is ONE contiguous slice of the (B, n, n, n) vertex lattice; soa[k][c]
+    concatenates 6 type-slices along the tet axis.  The random-access
+    corner gathers (and their incidence-gather backward) measured
+    ~100 ms/step at res-50 — slices and their pad-transpose are
+    sequential HBM traffic, ~bandwidth-speed.
+    """
+    r = int(res)
+    n = r + 1
+    b = pos_bxnx3.shape[0]
+    slices = {}  # (di,dj,dk) -> [3 x (B, r^3)]
+    for ty in range(6):
+        for k in range(4):
+            off = tuple(offsets[ty][k])
+            if off not in slices:
+                di, dj, dk = off
+                sl = pos_bxnx3.reshape(b, n, n, n, 3)[
+                    :, di:di + r, dj:dj + r, dk:dk + r, :
+                ].reshape(b, r * r * r, 3)
+                slices[off] = [sl[..., c] for c in range(3)]
+    return [
+        [
+            jnp.concatenate(
+                [slices[tuple(offsets[ty][k])][c] for ty in range(6)],
+                axis=1,
+            )
+            for c in range(3)
+        ]
+        for k in range(4)
+    ]
+
+
 def tet_centers_soa(soa):
     """Mean of the 4 corners; returns 3 (B, T) component arrays."""
     return [

@@ -124,7 +124,15 @@ def build_tet_grid(resolution: int) -> TetGrid:
         + (origins[:, None, 1] + corner_off[None, :, 1]) * n
         + (origins[:, None, 2] + corner_off[None, :, 2])
     )  # (r^3, 8)
-    tets = corner_idx[:, _CUBE_TETS].reshape(-1, 4)  # (6 r^3, 4)
+    # Type-major ordering (tet t = type * r^3 + cell): every tet of a type
+    # is the same vertex-offset pattern translated across cells, so device
+    # code can read tet corners as shifted slices of the vertex lattice
+    # instead of random gathers (losses.geometry.gather_tet_soa_lattice).
+    tets = (
+        corner_idx[:, _CUBE_TETS]        # (r^3, 6, 4)
+        .transpose(1, 0, 2)
+        .reshape(-1, 4)
+    )
     tets = orient_tets(vertices, tets)
 
     mask = boundary_vertex_mask(vertices, 1.0 / r)

@@ -31,7 +31,12 @@ from ..config import Experiment, TrainConfig
 from ..nn import DeformableTetNetwork, VertexAdjacency
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .statics import GridStatics, build_grid_statics, lattice_offsets
+from .statics import (
+    GridStatics,
+    build_grid_statics,
+    lattice_offsets,
+    lattice_tet_offsets,
+)
 from .step import (
     TrainState,
     create_train_state,
@@ -60,13 +65,16 @@ class Engine:
         if statics is not None:
             self.statics = statics
             self._lattice_offsets = None
+            self._tet_lattice = None
         else:
             from ..tetgrid import build_tet_grid
 
             grid = build_tet_grid(config.res)
             self.statics = build_grid_statics(config.res, grid=grid)
-            # Regular grid -> stencil fast path for GCN/Laplacian.
+            # Regular grid -> stencil fast paths (GCN/Laplacian neighbor
+            # mean; slice-based tet-corner reads).
             self._lattice_offsets = lattice_offsets(grid)
+            self._tet_lattice = lattice_tet_offsets(grid)
         self.mesh = mesh if mesh is not None else make_mesh(
             batch_size=config.batch_size
         )
@@ -99,9 +107,11 @@ class Engine:
         self._train_step = make_train_step(
             self.model, self.tx, config,
             lattice_offsets=self._lattice_offsets,
+            tet_lattice=self._tet_lattice,
         )
         self._eval_step = make_eval_step(
             self.model, config, lattice_offsets=self._lattice_offsets,
+            tet_lattice=self._tet_lattice,
         )
         self._rng = jax.random.PRNGKey(config.seed + 1)
         from ..utils import TimingRegistry

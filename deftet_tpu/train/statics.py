@@ -80,6 +80,48 @@ def lattice_offsets(grid: TetGrid) -> tuple | None:
     return tuple(offs)
 
 
+def lattice_tet_offsets(grid: TetGrid) -> tuple | None:
+    """Per-(type, corner) lattice offsets of the type-major Kuhn grid.
+
+    Returns a static ((6, 4, 3)) nested tuple of {0,1} offsets such that
+    tet ``type * r^3 + cell`` has corner k at vertex
+    ``(i+di, j+dj, k+dk)`` for cell origin (i, j, k) — verified against
+    the actual tets array — or None when the grid is not that lattice
+    (loaded .tet files, carved/subdivided topologies).
+    """
+    r = grid.resolution
+    if r < 1:
+        return None
+    n = r + 1
+    tets = np.asarray(grid.tets, np.int64)
+    if tets.shape[0] != 6 * r**3:
+        return None
+    ii, jj, kk = np.meshgrid(
+        np.arange(r), np.arange(r), np.arange(r), indexing="ij"
+    )
+    cell_base = (ii * n * n + jj * n + kk).reshape(-1)  # (r^3,)
+    offs = []
+    for ty in range(6):
+        block = tets[ty * r**3:(ty + 1) * r**3]  # (r^3, 4)
+        delta = block - cell_base[:, None]
+        if (delta != delta[0]).any():
+            return None
+        enc = delta[0]  # (4,)
+        di, dj, dk = enc // (n * n), (enc // n) % n, enc % n
+        if not (
+            ((di == 0) | (di == 1)).all()
+            and ((dj == 0) | (dj == 1)).all()
+            and ((dk == 0) | (dk == 1)).all()
+        ):
+            return None
+        offs.append(
+            tuple(
+                (int(di[k]), int(dj[k]), int(dk[k])) for k in range(4)
+            )
+        )
+    return tuple(offs)
+
+
 def build_grid_statics(
     resolution: int,
     grid: TetGrid | None = None,

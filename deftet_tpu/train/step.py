@@ -131,6 +131,7 @@ def forward_losses(
     rng: jax.Array,
     train: bool = True,
     lattice_offsets=None,
+    tet_lattice=None,
 ):
     """Full forward. Returns ((total, aux-terms), mutated-variables)."""
     k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
@@ -190,11 +191,20 @@ def forward_losses(
         mutated = {}
 
     # Full-grid per-tet geometry in SoA form: every array is (B, T) with
-    # the big T axis in the TPU lane dimension.
-    soa = gather_tet_soa(
-        tet_pos, statics.tet_tx4,
-        vert_tet_inc=(statics.vert_tet_inc_idx, statics.vert_tet_inc_mask),
-    )
+    # the big T axis in the TPU lane dimension.  On the regular grid the
+    # corners come from shifted slices of the vertex lattice (zero
+    # gathers, see gather_tet_soa_lattice); otherwise incidence gathers.
+    if tet_lattice is not None:
+        from ..losses.geometry import gather_tet_soa_lattice
+
+        soa = gather_tet_soa_lattice(tet_pos, config.res, tet_lattice)
+    else:
+        soa = gather_tet_soa(
+            tet_pos, statics.tet_tx4,
+            vert_tet_inc=(
+                statics.vert_tet_inc_idx, statics.vert_tet_inc_mask
+            ),
+        )
     cx, cy, cz = tet_centers_soa(soa)
 
     # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49).
@@ -300,7 +310,8 @@ def forward_losses(
     return (total, (terms, mutated))
 
 
-def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
+def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
+                    tet_lattice=None):
     """Build the jitted SPMD train step.
 
     `statics` is a runtime argument, NOT a closure capture: closed-over
@@ -316,7 +327,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
                 variables["batch_stats"] = state.batch_stats
             total, (terms, mutated) = forward_losses(
                 model, variables, batch, statics, config, rng, train=True,
-                lattice_offsets=lattice_offsets,
+                lattice_offsets=lattice_offsets, tet_lattice=tet_lattice,
             )
             return total, (terms, mutated)
 
@@ -335,7 +346,8 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
+def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
+                   tet_lattice=None):
     """Jitted validation step: loss terms + occupancy IoU, no grad."""
 
     def eval_step(state: TrainState, batch, rng, statics: GridStatics):
@@ -344,7 +356,7 @@ def make_eval_step(model, config: TrainConfig, lattice_offsets=None):
             variables["batch_stats"] = state.batch_stats
         total, (terms, _) = forward_losses(
             model, variables, batch, statics, config, rng, train=False,
-            lattice_offsets=lattice_offsets,
+            lattice_offsets=lattice_offsets, tet_lattice=tet_lattice,
         )
         terms["total"] = total
         return terms

@@ -501,3 +501,49 @@ def test_normal_loss_compacted_matches_full_set():
     np.testing.assert_allclose(
         np.asarray(g_f), np.asarray(g_c), rtol=0.1, atol=2e-3
     )
+
+
+def test_gather_tet_soa_lattice_matches_gathers():
+    """Slice-based corner reads must equal index gathers (value + grad)."""
+    from deftet_tpu.losses.geometry import (
+        gather_tet_soa,
+        gather_tet_soa_lattice,
+    )
+    from deftet_tpu.train.statics import lattice_tet_offsets
+
+    grid = build_tet_grid(3)
+    offsets = lattice_tet_offsets(grid)
+    assert offsets is not None and len(offsets) == 6
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(
+        (grid.centered_vertices()[None]
+         + rng.normal(scale=0.02, size=(2, grid.n_vertices, 3))
+         ).astype(np.float32)
+    )
+    tet = jnp.asarray(grid.tets)
+
+    soa_g = gather_tet_soa(pos, tet)
+    soa_l = gather_tet_soa_lattice(pos, grid.resolution, offsets)
+    for k in range(4):
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(soa_g[k][c]), np.asarray(soa_l[k][c]),
+                rtol=0, atol=0,
+            )
+
+    def vol(fn):
+        def f(p):
+            soa = fn(p)
+            return jnp.sum(
+                (soa[0][0] - soa[3][0]) * (soa[1][1] - soa[3][1])
+                * (soa[2][2] - soa[3][2])
+            )
+        return f
+
+    g_g = jax.grad(vol(lambda p: gather_tet_soa(p, tet)))(pos)
+    g_l = jax.grad(
+        vol(lambda p: gather_tet_soa_lattice(p, grid.resolution, offsets))
+    )(pos)
+    np.testing.assert_allclose(
+        np.asarray(g_g), np.asarray(g_l), rtol=1e-6, atol=1e-6
+    )
