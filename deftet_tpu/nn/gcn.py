@@ -78,6 +78,18 @@ class LatticeAdjacency:
         while n**3 < n_verts:
             n += 1
         assert n**3 == n_verts, (n, n_verts)
+        from ..ops.nearest import _use_pallas_auto
+
+        if c >= 64 and _use_pallas_auto():
+            # VMEM-resident masked-shift kernel; the XLA depthwise conv
+            # below measured ~40x off the VPU roofline at production sizes.
+            from ..ops.stencil_pallas import lattice_neighbor_mean
+
+            inv_deg = 1.0 / jnp.maximum(self.degree, 1).astype(jnp.float32)
+            return lattice_neighbor_mean(
+                x_bxnxd.astype(jnp.float32), inv_deg, n,
+                tuple(tuple(o) for o in self.offsets),
+            )
         xg = x_bxnxd.reshape(b, n, n, n, c)
         # one depthwise 3x3x3 conv (binary stencil kernel) instead of 14
         # pad+shift ops — the step is op-count-bound at production sizes

@@ -333,3 +333,46 @@ def test_pallas_tri_argmin_matches_xla_interpret():
     np.testing.assert_allclose(
         np.asarray(d_ref), np.asarray(d_pal), rtol=1e-4, atol=1e-6
     )
+
+
+def test_pallas_lattice_stencil_matches_conv():
+    """Masked-shift stencil kernel vs the depthwise-conv formulation
+    (value + gradient, interpret mode on CPU)."""
+    from deftet_tpu.nn import LatticeAdjacency
+    from deftet_tpu.ops.stencil_pallas import lattice_neighbor_mean
+    from deftet_tpu.tetgrid import build_tet_grid
+    from deftet_tpu.train.statics import lattice_offsets
+
+    grid = build_tet_grid(4)
+    offsets = lattice_offsets(grid)
+    from deftet_tpu.tetgrid import build_topology
+
+    topo = build_topology(grid.tets, grid.n_vertices)
+    adj = LatticeAdjacency(offsets=offsets, degree=jnp.asarray(topo.vert_degree))
+    n = grid.resolution + 1
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, n**3, 130)).astype(np.float32))
+    ref = adj.matmul(x)  # conv path (CPU: pallas auto-dispatch is off)
+    inv_deg = 1.0 / jnp.maximum(adj.degree, 1).astype(jnp.float32)
+    got = lattice_neighbor_mean(
+        x, inv_deg, n, tuple(tuple(o) for o in offsets), True
+    )
+    # bf16 storage inside the kernel: bf16-level tolerance
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=3e-2, atol=3e-2
+    )
+
+    # gradient: S is self-transpose, VJP = S(invdeg * g)
+    w = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda a: jnp.sum(adj.matmul(a) * w))(x)
+    g_got = jax.grad(
+        lambda a: jnp.sum(
+            lattice_neighbor_mean(
+                a, inv_deg, n, tuple(tuple(o) for o in offsets), True
+            ) * w
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_ref), np.asarray(g_got), rtol=3e-2, atol=3e-2
+    )
