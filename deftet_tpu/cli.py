@@ -111,7 +111,11 @@ def eval_main(argv=None) -> int:
         batch_iterator(val_set, config.batch_size)
     )
 
-    infer = make_inference_step(engine.model, config)
+    infer = make_inference_step(
+        engine.model, config,
+        lattice_offsets=engine._lattice_offsets,
+        tet_lattice=engine._tet_lattice,
+    )
     sums, n = {}, 0
     per_cat: dict = {}
     vis_done = False
@@ -141,6 +145,8 @@ def eval_main(argv=None) -> int:
                 engine.model, engine.state, engine._prep_batch(batch),
                 engine.statics, config,
                 experiment.file_path("vis_surface"),
+                lattice_offsets=engine._lattice_offsets,
+                tet_lattice=engine._tet_lattice,
             )
             vis_done = True
     metrics = {k: v / max(n, 1) for k, v in sums.items()}

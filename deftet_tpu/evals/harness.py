@@ -108,8 +108,44 @@ def decode_occ_full_grid(
     return logits.swapaxes(0, 1).reshape(b, -1)[:, :t]
 
 
+def _adjacency(statics: GridStatics, config: TrainConfig, lattice_offsets):
+    """(adjacency object, lattice_res) — the stencil fast path when the
+    regular-grid offsets are provided (train.statics.lattice_offsets)."""
+    from ..nn import LatticeAdjacency, VertexAdjacency
+
+    if lattice_offsets is not None:
+        return (
+            LatticeAdjacency(
+                offsets=lattice_offsets, degree=statics.vert_degree
+            ),
+            config.res,
+        )
+    return (
+        VertexAdjacency(
+            idx=statics.vert_adj_idx,
+            mask=statics.vert_adj_mask,
+            degree=statics.vert_degree,
+        ),
+        0,
+    )
+
+
+def _tet_soa(tet_pos, statics: GridStatics, config: TrainConfig, tet_lattice):
+    """Full-grid SoA corners: lattice slices when available, else
+    incidence gathers (losses.geometry.gather_tet_soa_lattice)."""
+    if tet_lattice is not None:
+        from ..losses.geometry import gather_tet_soa_lattice
+
+        return gather_tet_soa_lattice(tet_pos, config.res, tet_lattice)
+    return gather_tet_soa(
+        tet_pos, statics.tet_tx4,
+        vert_tet_inc=(statics.vert_tet_inc_idx, statics.vert_tet_inc_mask),
+    )
+
+
 def extract_predicted_surface(
-    model, state, batch, statics: GridStatics, config: TrainConfig
+    model, state, batch, statics: GridStatics, config: TrainConfig,
+    lattice_offsets=None, tet_lattice=None,
 ):
     """(verts (B, N, 3), faces (B, K, 3), mask (B, K)) of the predicted
     surface — tet positions + boundary faces of thresholded occupancy
@@ -131,21 +167,13 @@ def extract_predicted_surface(
     pyr_pos, pyr_occ = model.apply(
         variables, inp, train=False, method=model.encode
     )
-    from ..nn import VertexAdjacency
-
-    adj = VertexAdjacency(
-        idx=statics.vert_adj_idx,
-        mask=statics.vert_adj_mask,
-        degree=statics.vert_degree,
-    )
+    adj, lat_res = _adjacency(statics, config, lattice_offsets)
     _, tet_pos, _ = model.apply(
         variables, init_pos, pyr_pos, pos_mask,
-        train=False, adj=adj, method=model.decode_pos,
+        train=False, adj=adj, lattice_res=lat_res,
+        method=model.decode_pos,
     )
-    soa = gather_tet_soa(
-        tet_pos, statics.tet_tx4,
-        vert_tet_inc=(statics.vert_tet_inc_idx, statics.vert_tet_inc_mask),
-    )
+    soa = _tet_soa(tet_pos, statics, config, tet_lattice)
     logits = decode_occ_full_grid(
         model, variables, tet_centers_soa(soa), pyr_occ,
         chunk=min(100_000, statics.n_tets),
@@ -164,14 +192,16 @@ def extract_predicted_surface(
 
 
 def save_predicted_surface_objs(
-    model, state, batch, statics, config, out_prefix: str
+    model, state, batch, statics, config, out_prefix: str,
+    lattice_offsets=None, tet_lattice=None,
 ):
     """Dump one OBJ per batch element (the --save_vis behaviour of
     train_multigpu.py:183 / deftet.py:72-80)."""
     from ..utils import save_obj
 
     verts, faces, mask = extract_predicted_surface(
-        model, state, batch, statics, config
+        model, state, batch, statics, config,
+        lattice_offsets=lattice_offsets, tet_lattice=tet_lattice,
     )
     paths = []
     for i in range(verts.shape[0]):
@@ -182,7 +212,8 @@ def save_predicted_surface_objs(
     return paths
 
 
-def make_inference_step(model, config: TrainConfig):
+def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
+                        tet_lattice=None):
     """Jitted eval-forward: predicted occupancy + surface + all metrics."""
 
     def infer(state, batch, rng, statics: GridStatics):
@@ -207,22 +238,13 @@ def make_inference_step(model, config: TrainConfig):
         pyr_pos, pyr_occ = model.apply(
             variables, inp, train=False, method=model.encode
         )
-        from ..nn import VertexAdjacency
-
-        adj = VertexAdjacency(
-            idx=statics.vert_adj_idx,
-            mask=statics.vert_adj_mask,
-            degree=statics.vert_degree,
-        )
+        adj, lat_res = _adjacency(statics, config, lattice_offsets)
         _, tet_pos, _ = model.apply(
             variables, init_pos, pyr_pos, pos_mask,
-            train=False, adj=adj, method=model.decode_pos,
+            train=False, adj=adj, lattice_res=lat_res,
+            method=model.decode_pos,
         )
-        soa = gather_tet_soa(
-            tet_pos, statics.tet_tx4,
-            vert_tet_inc=(statics.vert_tet_inc_idx,
-                          statics.vert_tet_inc_mask),
-        )
+        soa = _tet_soa(tet_pos, statics, config, tet_lattice)
         centers_soa = tet_centers_soa(soa)
 
         # ---- full-grid occupancy + threshold ---------------------------

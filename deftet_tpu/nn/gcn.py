@@ -79,8 +79,9 @@ class LatticeAdjacency:
             n += 1
         assert n**3 == n_verts, (n, n_verts)
         from ..ops.nearest import _use_pallas_auto
+        from ..ops.stencil_pallas import stencil_fits_vmem
 
-        if c >= 64 and _use_pallas_auto():
+        if c >= 64 and _use_pallas_auto() and stencil_fits_vmem(n):
             # VMEM-resident masked-shift kernel; the XLA depthwise conv
             # below measured ~40x off the VPU roofline at production sizes.
             from ..ops.stencil_pallas import lattice_neighbor_mean

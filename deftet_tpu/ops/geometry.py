@@ -133,15 +133,22 @@ def _edge_face_sum_fwd(x, efi, efm, fei):
 def _edge_face_sum_bwd(res, g):
     fei, dtype_token = res
     x_dtype = dtype_token.dtype
+    f = fei.shape[0]
     # gather the cotangent at the primal's precision: for bf16 fields the
-    # random-access gather bytes (the whole cost) halve too
-    gathered = jnp.take_along_axis(
-        g.astype(x_dtype), fei.reshape(-1)[None].astype(jnp.int32), axis=1
-    ).reshape(g.shape[0], *fei.shape)  # (B, F, 3)
-    return (
-        jnp.sum(gathered.astype(jnp.float32), axis=-1).astype(x_dtype),
-        None, None, None,
+    # random-access gather bytes (the whole cost) halve too.  Slot-major
+    # flat index list, so the per-slot sum is three (B, F) slices — a
+    # (B, F, 3) intermediate would pad its size-3 minor dim ~5x on TPU
+    # (measured 3.9GB of padding at res-70).
+    flat = jnp.swapaxes(fei, 0, 1).reshape(-1)  # slot-major (3F,)
+    g3 = jnp.take_along_axis(
+        g.astype(x_dtype), flat[None].astype(jnp.int32), axis=1
+    )  # (B, 3F)
+    total = (
+        g3[:, :f].astype(jnp.float32)
+        + g3[:, f:2 * f].astype(jnp.float32)
+        + g3[:, 2 * f:].astype(jnp.float32)
     )
+    return (total.astype(x_dtype), None, None, None)
 
 
 edge_face_sum.defvjp(_edge_face_sum_fwd, _edge_face_sum_bwd)

@@ -64,6 +64,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def stencil_fits_vmem(n: int, c_block: int = 128) -> bool:
+    """Whether one (j, k) plane block fits the ~16MB VMEM budget.
+
+    Per grid step: 3 bf16 input planes (double-buffered) + 1 f32 output
+    plane (double-buffered) + ~2 plane-sized f32 temporaries.  Beyond
+    this (n >~ 60) callers fall back to the XLA depthwise conv.
+    """
+    jp = _round_up(n + 2, 8)
+    kp = _round_up(n + 2, 8)
+    plane = jp * kp * c_block
+    budget = 3 * plane * 2 * 2 + plane * 4 * 2 + 2 * plane * 4
+    return budget < 14 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "offsets", "c_block", "interpret")
 )

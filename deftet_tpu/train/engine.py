@@ -196,6 +196,8 @@ class Engine:
                     self.experiment.file_path(
                         f"vis_{self.global_step}"
                     ),
+                    lattice_offsets=self._lattice_offsets,
+                    tet_lattice=self._tet_lattice,
                 )
             terms = self._eval_step(
                 self.state, self._prep_batch(batch), self._next_rng(),
