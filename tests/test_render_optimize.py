@@ -117,3 +117,26 @@ def test_surface_obj_and_turntable(tmp_path):
     )
     assert frames.shape == (3, 16, 16, 3)
     assert gif.exists() and gif.stat().st_size > 0
+
+
+def test_render_cli_end_to_end(tmp_path):
+    """deftet-render with a micro procedural scene: runs the staged
+    pipeline, writes records.json + surface OBJ + turntable GIF."""
+    import json
+    import os
+
+    from deftet_tpu.cli import render_main
+
+    rc = render_main([
+        "--synthetic", "--n_views", "3", "--image_size", "16",
+        "--tetres", "4", "--sublevel", "0", "--optfixnum", "6",
+        "--optmovnum", "4", "--deletenum", "5", "--peel_k", "3",
+        "--savedir", str(tmp_path), "--expname", "t",
+    ])
+    assert rc == 0
+    out = tmp_path / "t"
+    rec = json.loads((out / "records.json").read_text())
+    assert rec["stages"] and "final_psnr" in rec
+    names = os.listdir(out)
+    assert "surface.obj" in names
+    assert any(n.endswith(".gif") for n in names)
