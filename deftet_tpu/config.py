@@ -85,6 +85,23 @@ class TrainConfig:
     max_boundary_faces: int = 0
     timing: bool = False
 
+    # -- lap (refinement) layer (config.py:525-542, pc_model.py:231-254) ----
+    # Second position decoder refining the first head's output.  The
+    # reference's companion lap_v_loss is identically zero (deftet.py:107)
+    # and its train-mode pred_occ is unused; the flags below are accepted
+    # for config-replay parity.
+    use_lap_layer: bool = False
+    lap_threshold: float = 0.4
+    lambda_lap_v_loss: float = 10.0
+
+    # -- training schedule extras (train_multigpu.py:145-156, config.py) ----
+    pretrain: str = ""             # experiment dir to warm-start params from
+    finetune_occ: bool = False     # freeze pos decoder; train occ path only
+    print_every: int = 1000        # step-cadence stdout metrics
+    save_vis_every: int = 10000    # step-cadence OBJ dumps (with save_vis)
+    use_init_pos_mask: bool = True  # freeze box-boundary vertices
+    use_graph_attention: bool = False  # asserted off (gcn_decoder.py:267)
+
     # -- runtime -------------------------------------------------------------
     seed: int = 1
     experiment_id: str = ""
@@ -141,6 +158,34 @@ class TrainConfig:
             return cls.from_json(f.read())
 
 
+# Reference options that are argparse-only dead weight THERE too (never
+# read by any live code path — baseline switches, DDP/apex stubs, unused
+# ablations; SURVEY.md P14).  Accepted and ignored so reference-style
+# invocations and saved configs replay cleanly.
+REFERENCE_COMPAT_FLAGS = (
+    "point_cloud", "loader_workers", "data_root", "shape_train_gt_root",
+    "shape_train_ori_gt_root", "dataset_dir", "use_all", "expid", "device",
+    "lambda_prob_d", "detach", "sample_box", "z_window_radius",
+    "use_surface_prob_loss", "use_old_intersection_test", "use_surface_dis",
+    "optimize_network", "upsample", "upsample_layer", "upsample_gt_occ",
+    "use_pos_encoding", "use_vert_feat", "use_init_boundary",
+    "alternate_training", "def_epochs", "occ_epochs",
+    "use_learned_def_mask", "c_dim", "use_vertex_loss", "use_l2_chamfer",
+    "occ_detach_def", "use_init_correspondence", "expand_boundary",
+    "use_pvcnn_pos_decoder", "use_pvcnn_decoder", "use_gcn_pos_decoder",
+    "use_pvcnn_occ_decoder", "use_dvr_pos_decoder", "use_dvr_occ_decoder",
+    "baseline", "upscale", "use_apex", "finetune_pos", "full_scene",
+    "voxel_baseline", "voxel_baseline_res", "mesh_baseline",
+    "meshrcnn_baseline", "disn_baseline", "use_disn", "meshrcnn_threshold",
+    "pretrain_voxel", "occnet_baseline", "dmc_baseline", "use_distributed",
+    "add_geo_feat", "optimize_part", "use_img_conv", "use_dvr_decoder",
+    "use_projection", "train_car", "pretrain_occ", "adaptive_sample",
+    "use_occ_encoder", "pos_pretrain_path", "predict_color",
+    "resize_input_shape", "resize_local_feature_shape", "local_rank",
+    "categories",
+)
+
+
 def add_config_args(
     parser: argparse.ArgumentParser, cls=TrainConfig
 ) -> argparse.ArgumentParser:
@@ -148,6 +193,8 @@ def add_config_args(
 
     Bools become ``--name`` / ``--no_name`` pairs with a None default so
     that only explicitly-passed flags override (experiment.py:150-170).
+    Reference-only dead flags (REFERENCE_COMPAT_FLAGS) are accepted and
+    ignored.
     """
     for f in dataclasses.fields(cls):
         name = f.name
@@ -163,6 +210,16 @@ def add_config_args(
             parser.add_argument(
                 f"--{name}", type=type(f.default), default=None
             )
+    compat = parser.add_argument_group("reference compatibility (ignored)")
+    for name in REFERENCE_COMPAT_FLAGS:
+        compat.add_argument(
+            f"--{name}", nargs="?", const=True, default=None,
+            help=argparse.SUPPRESS,
+        )
+        compat.add_argument(
+            f"--no_{name}", action="store_true", default=None,
+            help=argparse.SUPPRESS,
+        )
     return parser
 
 

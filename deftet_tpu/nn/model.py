@@ -96,6 +96,7 @@ class DeformableTetNetwork(nn.Module):
     adj: Optional[VertexAdjacency] = None
     blocks: Tuple[Tuple[int, int, int], ...] = DEFAULT_BLOCKS
     use_two_encoder: bool = True
+    use_lap_layer: bool = False
     scale_pos: bool = True
     scale_pvcnn: bool = True
     train_def: bool = True
@@ -124,6 +125,17 @@ class DeformableTetNetwork(nn.Module):
         self.decoder_occ = MLPDecoder(
             hidden=tuple(self.occ_mlp_hidden), out_dim=1, dtype=self.dtype
         )
+        if self.use_lap_layer:
+            # refinement ("laplacian") position decoder (pc_model.py:
+            # 231-254): a second GCNMLP head that refines the first
+            # decoder's output from features sampled at the UNDEFORMED
+            # positions, same x0.1 / sigmoid-scale / mask treatment.
+            self.lap_decoder_pos = GCNMLPDecoder(
+                gcn_hidden=tuple(self.gcn_hidden),
+                mlp_hidden=tuple(self.pos_mlp_hidden),
+                out_dim=3,
+                dtype=self.dtype,
+            )
 
     def encode(self, input_points_bxnx3, train: bool = True):
         """Returns (pos_pyramid, occ_pyramid) of voxel features."""
@@ -168,7 +180,24 @@ class DeformableTetNetwork(nn.Module):
             delta = nn.sigmoid(delta) * scale - scale / 2
         if pos_mask_bxnx3 is not None:
             delta = delta * pos_mask_bxnx3
-        return delta, p_bxnx3 + delta, ori_delta
+        pos = p_bxnx3 + delta
+        if self.use_lap_layer:
+            # Second refinement pass (pc_model.py:231-254): features at
+            # the undeformed lattice (reusing `feat`'s pyramid samples)
+            # concatenated with the refined positions.  NOTE the
+            # reference's companion lap_v_loss is identically zero
+            # (deftet.py:107) and its train-mode pred_occ is unused
+            # (deftet.py:51-130), so the architecture change is the
+            # whole feature.
+            lap_feat = jnp.concatenate([feat[..., :-3], pos], axis=-1)
+            lap_delta = self.lap_decoder_pos(lap_feat, adj, train=train) * 0.1
+            if self.scale_pos:
+                scale = 0.2
+                lap_delta = nn.sigmoid(lap_delta) * scale - scale / 2
+            if pos_mask_bxnx3 is not None:
+                lap_delta = lap_delta * pos_mask_bxnx3
+            return lap_delta, pos + lap_delta, ori_delta
+        return delta, pos, ori_delta
 
     def decode_occ(
         self,

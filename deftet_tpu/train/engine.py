@@ -84,9 +84,13 @@ class Engine:
             mask=self.statics.vert_adj_mask,
             degree=self.statics.vert_degree,
         )
+        assert not config.use_graph_attention, (
+            "use_graph_attention is asserted off (gcn_decoder.py:267)"
+        )
         self.model = DeformableTetNetwork(
             adj=adj,
             blocks=config.parsed_blocks(),
+            use_lap_layer=config.use_lap_layer,
             dtype=jnp.bfloat16 if config.precision == "bf16" else None,
             use_two_encoder=config.use_two_encoder,
             scale_pos=config.scale_pos,
@@ -100,6 +104,25 @@ class Engine:
         self.state, self.tx = create_train_state(
             self.model, config, self.statics, rng
         )
+        if config.pretrain:
+            # warm start from another experiment's best checkpoint
+            # (train_multigpu.py:145-156) — params + BN stats only, fresh
+            # optimizer state.
+            from .checkpoint import restore_checkpoint
+
+            tree = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }
+            restored = restore_checkpoint(
+                os.path.join(config.pretrain, "ckpt"), "best", target=tree
+            )
+            self.state = TrainState(
+                restored["params"], restored["batch_stats"],
+                self.state.opt_state, self.state.step,
+            )
         # Replicate params + statics across the mesh so the sharded batch
         # is the only distributed input.
         self.state = TrainState(*replicate(tuple(self.state), self.mesh))
@@ -170,6 +193,32 @@ class Engine:
                 }
                 self._log(
                     {"kind": "train", "step": self.global_step, **host_terms}
+                )
+                if (
+                    self.config.print_every
+                    and self.global_step % self.config.print_every == 0
+                ):
+                    # step-cadence progress line (train_multigpu.py:302-313)
+                    print(
+                        f"step {self.global_step} "
+                        f"total={host_terms.get('total', 0.0):.4f} "
+                        f"occ={host_terms.get('occ', 0.0):.4f} "
+                        f"occ_iou={host_terms.get('occ_iou', 0.0):.4f}",
+                        flush=True,
+                    )
+            if (
+                self.config.save_vis
+                and self.config.save_vis_every
+                and self.global_step % self.config.save_vis_every == 0
+            ):
+                from ..evals.harness import save_predicted_surface_objs
+
+                save_predicted_surface_objs(
+                    self.model, self.state, self._prep_batch(batch),
+                    self.statics, self.config,
+                    self.experiment.file_path(f"vis_{self.global_step}"),
+                    lattice_offsets=self._lattice_offsets,
+                    tet_lattice=self._tet_lattice,
                 )
             for k, v in terms.items():
                 sums[k] = sums.get(k, 0.0) + float(v)

@@ -148,9 +148,14 @@ def forward_losses(
     init_pos = jnp.broadcast_to(
         statics.init_pos_nx3[None], (b,) + statics.init_pos_nx3.shape
     )
-    pos_mask = jnp.broadcast_to(
-        statics.pos_mask_nx3[None], (b,) + statics.pos_mask_nx3.shape
+    # use_init_pos_mask=False lets box-boundary vertices deform too
+    # (config.py use_init_pos_mask; default on, as in the reference).
+    mask_src = (
+        statics.pos_mask_nx3
+        if getattr(config, "use_init_pos_mask", True)
+        else jnp.ones_like(statics.pos_mask_nx3)
     )
+    pos_mask = jnp.broadcast_to(mask_src[None], (b,) + mask_src.shape)
     n_tets = statics.n_tets
     k = min(config.occ_sample, n_tets)
     center_idx = _center_subsample_idx(k_centers, n_tets, k)
@@ -302,7 +307,11 @@ def forward_losses(
     total = jnp.zeros(())
     if config.lambda_occ > 0.0:
         total = total + occ * config.lambda_occ
-    if config.lambda_def > 0.0:
+    # finetune_occ drops the deform term from the total so only the
+    # occupancy objective trains (train_multigpu.py:269; position decoder
+    # still receives BCE gradient through the deformed tet centers,
+    # exactly like the reference).
+    if config.lambda_def > 0.0 and not getattr(config, "finetune_occ", False):
         total = total + deform * config.lambda_def
     terms["occ_iou"] = iou(
         logits, gt_occ, thresh=config.iou_logit_threshold

@@ -54,3 +54,24 @@ def test_experiment_new_load(tmp_path):
     assert loaded.config.res == 5
     exp.write_state({"epoch": 3, "best_iou": 0.7, "global_step": 99})
     assert loaded.read_state()["global_step"] == 99
+
+
+def test_reference_compat_flags_accepted():
+    """Reference-style invocations with dead flags parse cleanly and do
+    not contaminate the config."""
+    import argparse
+
+    from deftet_tpu.config import add_config_args, config_from_args
+
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    args = parser.parse_args([
+        "--res", "8", "--use_apex", "--no_use_distributed",
+        "--local_rank", "0", "--baseline", "occnet",
+        "--use_lap_layer", "--lap_threshold", "0.3",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.res == 8
+    assert cfg.use_lap_layer is True
+    assert cfg.lap_threshold == 0.3
+    assert not hasattr(cfg, "use_apex")

@@ -238,3 +238,49 @@ def test_lattice_feature_probe_matches_gather():
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_lap_layer_refinement_decoder():
+    """use_lap_layer adds a second masked/scaled refinement pass
+    (pc_model.py:231-254)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deftet_tpu.nn import DeformableTetNetwork, VertexAdjacency
+    from deftet_tpu.tetgrid import build_tet_grid, build_topology
+
+    grid = build_tet_grid(3)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    adj = VertexAdjacency(
+        idx=jnp.asarray(topo.vert_adj_idx),
+        mask=jnp.asarray(topo.vert_adj_mask),
+        degree=jnp.asarray(topo.vert_degree),
+    )
+    blocks = ((8, 1, 8), (16, 1, 4))
+    kw = dict(adj=adj, blocks=blocks, gcn_hidden=(8,), pos_mlp_hidden=(8,),
+              occ_mlp_hidden=(8,))
+    rng = jax.random.PRNGKey(0)
+    inp = jax.random.uniform(rng, (2, 64, 3), minval=-0.5, maxval=0.5)
+    p = jnp.asarray(grid.centered_vertices().astype(np.float32))[None].repeat(2, 0)
+    centers = jax.random.uniform(rng, (2, 16, 3), minval=-0.5, maxval=0.5)
+    mask = jnp.asarray(grid.interior_mask.astype(np.float32))[None].repeat(2, 0)
+
+    base = DeformableTetNetwork(use_lap_layer=False, **kw)
+    lap = DeformableTetNetwork(use_lap_layer=True, **kw)
+    vb = base.init(rng, inp, p, centers, train=False)
+    vl = lap.init(rng, inp, p, centers, train=False)
+    assert "lap_decoder_pos" in vl["params"]
+    assert "lap_decoder_pos" not in vb["params"]
+
+    pyr, _ = lap.apply(vl, inp, train=False, method=lap.encode)
+    delta, pos, ori = lap.apply(
+        vl, p, pyr, mask, False, adj, 0, method=lap.decode_pos
+    )
+    assert pos.shape == p.shape and delta.shape == p.shape
+    # masked vertices stay put end-to-end (both passes masked)
+    np.testing.assert_allclose(
+        np.asarray((pos - p) * (1 - mask)), 0.0, atol=1e-7
+    )
+    # refinement delta respects the sigmoid scale bound
+    assert float(jnp.max(jnp.abs(delta))) <= 0.1 + 1e-6

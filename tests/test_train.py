@@ -149,3 +149,37 @@ def test_save_vis_during_validation(tiny_dataset, tmp_path):
 
     verts, faces = load_obj(objs[0])
     assert verts.shape[1] == 3
+
+
+def test_pretrain_warm_start_and_finetune_occ(tmp_path, tiny_dataset):
+    """--pretrain warm-starts params from another experiment's best
+    checkpoint (train_multigpu.py:145-156); --finetune_occ drops the
+    deform term from the total (train_multigpu.py:269)."""
+    kw = dict(TINY, logdir=str(tmp_path))
+    cfg1 = TrainConfig(experiment_id="src", **kw)
+    e1 = Engine(cfg1)
+    batch = next(_batches(tiny_dataset, cfg1))
+    e1.train_epoch(iter([batch]))
+    e1.best_iou = 1.0
+    e1.save(best=True)
+
+    cfg2 = TrainConfig(
+        experiment_id="warm", pretrain=e1.experiment.path, **kw
+    )
+    e2 = Engine(cfg2)
+    # warm-started params equal the source's trained params
+    p1 = jax.tree_util.tree_leaves(e1.state.params)
+    p2 = jax.tree_util.tree_leaves(e2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    cfg3 = TrainConfig(experiment_id="ft", finetune_occ=True, **kw)
+    e3 = Engine(cfg3)
+    _, terms = e3._train_step(
+        e3.state, e3._prep_batch(batch), jax.random.PRNGKey(0), e3.statics
+    )
+    # total excludes the deform terms: equals lambda_occ * occ only
+    np.testing.assert_allclose(
+        float(terms["total"]), cfg3.lambda_occ * float(terms["occ"]),
+        rtol=1e-5,
+    )
