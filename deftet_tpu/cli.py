@@ -190,7 +190,10 @@ def render_main(argv=None) -> int:
                         help="use the procedural GT scene instead of data")
     parser.add_argument("--n_views", type=int, default=16)
     parser.add_argument("--image_size", type=int, default=100)
-    parser.add_argument("--half_res", action="store_true", default=True)
+    hr = parser.add_mutually_exclusive_group()
+    hr.add_argument("--half_res", dest="half_res", action="store_true",
+                    default=True)
+    hr.add_argument("--no_half_res", dest="half_res", action="store_false")
     parser.add_argument("--tetres", type=int, default=40)
     parser.add_argument("--tetcoef", type=float, default=2.5)
     parser.add_argument("--sublevel", type=int, default=2)

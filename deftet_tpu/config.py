@@ -96,7 +96,9 @@ class TrainConfig:
 
     # -- training schedule extras (train_multigpu.py:145-156, config.py) ----
     pretrain: str = ""             # experiment dir to warm-start params from
-    finetune_occ: bool = False     # freeze pos decoder; train occ path only
+    finetune_occ: bool = False     # drop deform loss from the total; the
+    # pos decoder still gets BCE gradient via deformed centers
+    # (exact reference behavior, train_multigpu.py:269)
     print_every: int = 1000        # step-cadence stdout metrics
     save_vis_every: int = 10000    # step-cadence OBJ dumps (with save_vis)
     use_init_pos_mask: bool = True  # freeze box-boundary vertices

@@ -108,7 +108,7 @@ def decode_occ_full_grid(
     return logits.swapaxes(0, 1).reshape(b, -1)[:, :t]
 
 
-def _adjacency(statics: GridStatics, config: TrainConfig, lattice_offsets):
+def adjacency_for(statics: GridStatics, config: TrainConfig, lattice_offsets):
     """(adjacency object, lattice_res) — the stencil fast path when the
     regular-grid offsets are provided (train.statics.lattice_offsets)."""
     from ..nn import LatticeAdjacency, VertexAdjacency
@@ -130,7 +130,7 @@ def _adjacency(statics: GridStatics, config: TrainConfig, lattice_offsets):
     )
 
 
-def _tet_soa(tet_pos, statics: GridStatics, config: TrainConfig, tet_lattice):
+def tet_soa_for(tet_pos, statics: GridStatics, config: TrainConfig, tet_lattice):
     """Full-grid SoA corners: lattice slices when available, else
     incidence gathers (losses.geometry.gather_tet_soa_lattice)."""
     if tet_lattice is not None:
@@ -167,13 +167,13 @@ def extract_predicted_surface(
     pyr_pos, pyr_occ = model.apply(
         variables, inp, train=False, method=model.encode
     )
-    adj, lat_res = _adjacency(statics, config, lattice_offsets)
+    adj, lat_res = adjacency_for(statics, config, lattice_offsets)
     _, tet_pos, _ = model.apply(
         variables, init_pos, pyr_pos, pos_mask,
         train=False, adj=adj, lattice_res=lat_res,
         method=model.decode_pos,
     )
-    soa = _tet_soa(tet_pos, statics, config, tet_lattice)
+    soa = tet_soa_for(tet_pos, statics, config, tet_lattice)
     logits = decode_occ_full_grid(
         model, variables, tet_centers_soa(soa), pyr_occ,
         chunk=min(100_000, statics.n_tets),
@@ -238,13 +238,13 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         pyr_pos, pyr_occ = model.apply(
             variables, inp, train=False, method=model.encode
         )
-        adj, lat_res = _adjacency(statics, config, lattice_offsets)
+        adj, lat_res = adjacency_for(statics, config, lattice_offsets)
         _, tet_pos, _ = model.apply(
             variables, init_pos, pyr_pos, pos_mask,
             train=False, adj=adj, lattice_res=lat_res,
             method=model.decode_pos,
         )
-        soa = _tet_soa(tet_pos, statics, config, tet_lattice)
+        soa = tet_soa_for(tet_pos, statics, config, tet_lattice)
         centers_soa = tet_centers_soa(soa)
 
         # ---- full-grid occupancy + threshold ---------------------------

@@ -29,9 +29,13 @@ __all__ = [
 def kl_loss(x_bxc: jnp.ndarray, y_bxc: jnp.ndarray) -> jnp.ndarray:
     """KL(softmax(stop_grad(x)) ‖ softmax(y)), mean over batch
     (functional/loss.py:7-10; class axis = last here, channels-last)."""
-    x = jax.nn.softmax(jax.lax.stop_gradient(x_bxc), axis=-1)
+    xs = jax.lax.stop_gradient(x_bxc)
+    x = jax.nn.softmax(xs, axis=-1)
+    logx = jax.nn.log_softmax(xs, axis=-1)  # finite where x underflows to 0
     logy = jax.nn.log_softmax(y_bxc, axis=-1)
-    return jnp.mean(jnp.sum(x * (jnp.log(x) - logy), axis=-1))
+    # x * (logx - logy) with x == 0 contributes 0, never 0 * inf = NaN
+    return jnp.mean(jnp.sum(jnp.where(x > 0, x * (logx - logy), 0.0),
+                            axis=-1))
 
 
 def huber_loss(error: jnp.ndarray, delta: float) -> jnp.ndarray:

@@ -214,8 +214,10 @@ def normal_smoothness_loss_compacted(
 ) -> jnp.ndarray:
     """normal_smoothness_loss computed from the compacted boundary subset.
 
-    Identical math to normal_smoothness_loss (per-edge closed form), but
-    normals are computed only on the <= k selected boundary faces —
+    Same per-edge closed form as normal_smoothness_loss, restricted to
+    the <= k selected boundary faces (identical when the budget covers
+    the whole boundary; a uniform truncation like the chamfer term when
+    it overflows).  Normals are computed only on the selection —
     reusing the (B, k, 3, 3) vertex gather already paid for by the
     chamfer/analytic terms — and scattered (unique indices) back to the
     full face axis for the edge reduction.  This removes the full-set
@@ -245,7 +247,13 @@ def normal_smoothness_loss_compacted(
     vals = ws[..., None] * n  # (B, k, 3)
 
     b_idx = jnp.arange(b)[:, None]
-    w = jax.lax.stop_gradient(boundary_mask_bxf)
+    # The weight field is the SELECTED mask scattered back — not the full
+    # boundary mask: if the boundary overflows the compaction budget,
+    # faces without computed normals must not enter s_w (they would add a
+    # spurious s_w^2 with no matching normal term and over-count pairs).
+    w = jnp.zeros((b, f), vals.dtype).at[b_idx, sel_idx_bxk].add(
+        jax.lax.stop_gradient(sel_mask_bxk)
+    )
     rows = [w]
     for comp in range(3):
         rows.append(
@@ -394,9 +402,9 @@ def surface_align_losses(
     When a sample has no boundary faces, each of its terms is 1.0
     (deftet.py:162-166 returns ones).
 
-    `max_boundary_faces > 0` caps the chamfer/analytic working set to a
-    static compacted boundary subset; the normal smoothness term stays on
-    the full face set (it needs no per-face sampling).
+    `max_boundary_faces > 0` caps the chamfer/analytic/normal working
+    set to a static compacted boundary subset (all three truncate
+    uniformly if the boundary overflows the budget).
     """
     b_idx = jnp.arange(tet_pos_bxnx3.shape[0])[:, None, None]
     n_boundary = jnp.sum(boundary_mask_bxf, axis=1)
@@ -440,8 +448,12 @@ def surface_align_losses(
         )
         d = jnp.sqrt(d2 + EPS).reshape(b, f, k)
         w = work_mask[:, :, None]
+        # normalize by the faces actually in the working set — when the
+        # boundary overflows the compaction budget, dividing by the full
+        # boundary count would shrink the loss exactly when the surface
+        # is worst (sum(work_mask) == n_boundary in the lossless case)
         chamfer = jnp.sum(d * w, axis=(1, 2)) / jnp.maximum(
-            n_boundary * k, 1.0
+            jnp.sum(work_mask, axis=1) * k, 1.0
         )
     else:
         chamfer = zero

@@ -81,14 +81,19 @@ class LatticeAdjacency:
         from ..ops.nearest import _use_pallas_auto
         from ..ops.stencil_pallas import stencil_fits_vmem
 
-        if c >= 64 and _use_pallas_auto() and stencil_fits_vmem(n):
+        itemsize = jnp.dtype(x_bxnxd.dtype).itemsize
+        if (
+            c >= 64 and _use_pallas_auto()
+            and stencil_fits_vmem(n, itemsize=itemsize)
+        ):
             # VMEM-resident masked-shift kernel; the XLA depthwise conv
-            # below measured ~40x off the VPU roofline at production sizes.
+            # below measured ~40x off the VPU roofline at production
+            # sizes.  Storage keeps x's dtype (precision config honored).
             from ..ops.stencil_pallas import lattice_neighbor_mean
 
             inv_deg = 1.0 / jnp.maximum(self.degree, 1).astype(jnp.float32)
             return lattice_neighbor_mean(
-                x_bxnxd.astype(jnp.float32), inv_deg, n,
+                x_bxnxd, inv_deg, n,
                 tuple(tuple(o) for o in self.offsets),
             )
         xg = x_bxnxd.reshape(b, n, n, n, c)

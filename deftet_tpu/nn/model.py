@@ -196,7 +196,10 @@ class DeformableTetNetwork(nn.Module):
                 lap_delta = nn.sigmoid(lap_delta) * scale - scale / 2
             if pos_mask_bxnx3 is not None:
                 lap_delta = lap_delta * pos_mask_bxnx3
-            return lap_delta, pos + lap_delta, ori_delta
+            # first output = TOTAL deformation (delta + lap_delta) so the
+            # laplacian-smoothness / movement regularizers in the train
+            # step act on the whole field, not just the refinement
+            return delta + lap_delta, pos + lap_delta, ori_delta
         return delta, pos, ori_delta
 
     def decode_occ(

@@ -16,7 +16,8 @@ grid walks (batch, i-row, channel-block) and each step ships the i-1 / i
 / i+1 row planes (consecutive steps reuse two of the three, so HBM
 traffic is ~3x the array, all sequential).  j-shifts are static row
 slices, k-shifts are rolls (safe: the wrapped-in values are the zero
-padding).  Storage is bf16 (halves VMEM + traffic), accumulation f32.
+padding).  Storage follows the input dtype (bf16 under the model's bf16
+compute dtype — halving VMEM + traffic); accumulation is f32.
 
 The offset set is symmetric (off in S <=> -off in S), making the
 un-normalized stencil self-transpose: for the row-normalized neighbor
@@ -64,17 +65,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def stencil_fits_vmem(n: int, c_block: int = 128) -> bool:
+def stencil_fits_vmem(n: int, c_block: int = 128,
+                      itemsize: int = 2) -> bool:
     """Whether one (j, k) plane block fits the ~16MB VMEM budget.
 
-    Per grid step: 3 bf16 input planes (double-buffered) + 1 f32 output
-    plane (double-buffered) + ~2 plane-sized f32 temporaries.  Beyond
-    this (n >~ 60) callers fall back to the XLA depthwise conv.
+    Per grid step: 3 input planes (double-buffered, `itemsize` bytes) +
+    1 f32 output plane (double-buffered) + ~2 plane-sized f32
+    temporaries.  Beyond this (n >~ 60 for bf16) callers fall back to
+    the XLA depthwise conv.
     """
     jp = _round_up(n + 2, 8)
     kp = _round_up(n + 2, 8)
     plane = jp * kp * c_block
-    budget = 3 * plane * 2 * 2 + plane * 4 * 2 + 2 * plane * 4
+    budget = 3 * plane * 2 * itemsize + plane * 4 * 2 + 2 * plane * 4
     return budget < 14 * 1024 * 1024
 
 
@@ -99,7 +102,9 @@ def stencil_sum(
     jp = _round_up(n + 2, 8)
     kp = _round_up(n + 2, 8)
     cp = _round_up(c, c_block)
-    xg = x_bxvxc.reshape(b, n, n, n, c).astype(jnp.bfloat16)
+    # storage keeps the caller's dtype (bf16 halves VMEM + traffic when
+    # the model's compute dtype opts in); accumulation is f32 regardless
+    xg = x_bxvxc.reshape(b, n, n, n, c)
     xg = jnp.pad(
         xg,
         ((0, 0), (1, 1), (1, jp - n - 1), (1, kp - n - 1), (0, cp - c)),

@@ -110,17 +110,21 @@ class Engine:
             # optimizer state.
             from .checkpoint import restore_checkpoint
 
-            tree = {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-            }
+            # structure-free restore (target=None), then take only
+            # params/BN stats — the source run may have used a different
+            # optimizer chain, whose opt_state we neither need nor match.
             restored = restore_checkpoint(
-                os.path.join(config.pretrain, "ckpt"), "best", target=tree
+                os.path.join(config.pretrain, "ckpt"), "best", target=None
             )
             self.state = TrainState(
-                restored["params"], restored["batch_stats"],
+                jax.tree.map(
+                    lambda cur, new: jnp.asarray(new, cur.dtype),
+                    self.state.params, restored["params"],
+                ),
+                jax.tree.map(
+                    lambda cur, new: jnp.asarray(new, cur.dtype),
+                    self.state.batch_stats, restored["batch_stats"],
+                ),
                 self.state.opt_state, self.state.step,
             )
         # Replicate params + statics across the mesh so the sharded batch
@@ -187,17 +191,21 @@ class Engine:
             self.state = state
             self.global_step += 1
             n += 1
-            if self.global_step % 10 == 0 or n == 1:
+            want_log = self.global_step % 10 == 0 or n == 1
+            want_print = (
+                self.config.print_every
+                and self.global_step % self.config.print_every == 0
+            )
+            if want_log or want_print:
                 host_terms = {
                     k: float(v) for k, v in terms.items()
                 }
-                self._log(
-                    {"kind": "train", "step": self.global_step, **host_terms}
-                )
-                if (
-                    self.config.print_every
-                    and self.global_step % self.config.print_every == 0
-                ):
+                if want_log:
+                    self._log(
+                        {"kind": "train", "step": self.global_step,
+                         **host_terms}
+                    )
+                if want_print:
                     # step-cadence progress line (train_multigpu.py:302-313)
                     print(
                         f"step {self.global_step} "

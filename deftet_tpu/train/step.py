@@ -160,20 +160,11 @@ def forward_losses(
     k = min(config.occ_sample, n_tets)
     center_idx = _center_subsample_idx(k_centers, n_tets, k)
 
-    from ..nn import LatticeAdjacency, VertexAdjacency
+    # Shared lattice-vs-gather dispatch (evals.harness) so train and
+    # eval can never diverge on the fast-path condition.
+    from ..evals.harness import adjacency_for
 
-    if lattice_offsets is not None:
-        # Regular-grid fast path: neighbor mean as a 14-shift stencil on
-        # the vertex lattice (no multi-GB neighbor gathers).
-        adj = LatticeAdjacency(
-            offsets=lattice_offsets, degree=statics.vert_degree
-        )
-    else:
-        adj = VertexAdjacency(
-            idx=statics.vert_adj_idx,
-            mask=statics.vert_adj_mask,
-            degree=statics.vert_degree,
-        )
+    adj, _lat_res = adjacency_for(statics, config, lattice_offsets)
     rngs = {"dropout": k_drop} if train else {}
     out = model.apply(
         variables,
@@ -199,17 +190,9 @@ def forward_losses(
     # the big T axis in the TPU lane dimension.  On the regular grid the
     # corners come from shifted slices of the vertex lattice (zero
     # gathers, see gather_tet_soa_lattice); otherwise incidence gathers.
-    if tet_lattice is not None:
-        from ..losses.geometry import gather_tet_soa_lattice
+    from ..evals.harness import tet_soa_for
 
-        soa = gather_tet_soa_lattice(tet_pos, config.res, tet_lattice)
-    else:
-        soa = gather_tet_soa(
-            tet_pos, statics.tet_tx4,
-            vert_tet_inc=(
-                statics.vert_tet_inc_idx, statics.vert_tet_inc_mask
-            ),
-        )
+    soa = tet_soa_for(tet_pos, statics, config, tet_lattice)
     cx, cy, cz = tet_centers_soa(soa)
 
     # --- GT occupancy at deformed tet centers (no grad, deftet.py:33-49).

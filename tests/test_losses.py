@@ -547,3 +547,52 @@ def test_gather_tet_soa_lattice_matches_gathers():
     np.testing.assert_allclose(
         np.asarray(g_g), np.asarray(g_l), rtol=1e-6, atol=1e-6
     )
+
+
+def test_normal_loss_compacted_budget_overflow_consistent():
+    """When the boundary overflows the compaction budget the loss must
+    equal the full-set loss computed on ONLY the selected faces (uniform
+    truncation — no phantom s_w contributions from unselected faces)."""
+    from deftet_tpu.losses import (
+        boundary_info_from_occupancy,
+        normal_smoothness_loss,
+        normal_smoothness_loss_compacted,
+    )
+    from deftet_tpu.losses.surface import select_boundary_subset_static
+
+    grid = build_tet_grid(3)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    rng = np.random.default_rng(17)
+    occ = (rng.uniform(size=(1, grid.n_tets)) > 0.5).astype(np.float32)
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
+    )
+    n_boundary = int(np.asarray(mask).sum())
+    budget = max(4, n_boundary // 2)  # force overflow
+    assert budget < n_boundary
+    pos = jnp.asarray(
+        (grid.centered_vertices()[None]
+         + rng.normal(scale=0.02, size=(1, grid.n_vertices, 3))
+         ).astype(np.float32)
+    )
+    face_fx3 = jnp.asarray(topo.face_fx3)
+    topo_args = _edge_topo(topo)
+    sel_faces, sel_mask, sel_idx = select_boundary_subset_static(
+        face_fx3, mask, budget, return_idx=True
+    )
+    work_pos = pos[jnp.arange(1)[:, None, None], sel_faces]
+    got = float(
+        normal_smoothness_loss_compacted(
+            work_pos, sel_idx, sel_mask, mask, sign, topo_args
+        )[0]
+    )
+    # oracle: full-set formulation with the mask restricted to selection
+    sel_full_mask = np.zeros_like(np.asarray(mask))
+    sel_full_mask[0, np.asarray(sel_idx)[0][np.asarray(sel_mask)[0] > 0]] = 1
+    want = float(
+        normal_smoothness_loss(
+            pos, face_fx3, jnp.asarray(sel_full_mask), sign, topo_args
+        )[0]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+    assert np.isfinite(got)
