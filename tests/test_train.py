@@ -183,3 +183,28 @@ def test_pretrain_warm_start_and_finetune_occ(tmp_path, tiny_dataset):
         float(terms["total"]), cfg3.lambda_occ * float(terms["occ"]),
         rtol=1e-5,
     )
+
+
+def test_2d_mesh_data_space_sharding(tiny_dataset, tmp_path):
+    """Train step over a 2-D (data, space) mesh: batch on `data`, the
+    surface-point sample axis on `space` (the workload's second parallel
+    axis — XLA inserts the reduction collectives)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.device_count() == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "space"))
+    cfg = TrainConfig(logdir=str(tmp_path), **{**TINY, "batch_size": 4})
+    eng = Engine(cfg, mesh=mesh)
+    items = [tiny_dataset[i % len(tiny_dataset)] for i in range(4)]
+    batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+    sharded = eng._prep_batch(batch)
+    sharded["surface_points"] = jax.device_put(
+        sharded["surface_points"],
+        NamedSharding(mesh, P("data", "space", None)),
+    )
+    assert len(sharded["surface_points"].sharding.device_set) == 8
+    state, terms = eng._train_step(
+        eng.state, sharded, jax.random.PRNGKey(0), eng.statics
+    )
+    for k, v in terms.items():
+        assert np.isfinite(float(v)), k
