@@ -443,8 +443,15 @@ def surface_align_losses(
         samples = sample_surface_points(key, work_pos, per_face_samples)
         b, f, k, _ = samples.shape
         flat = samples.reshape(b, f * k, 3)
+        # Compacted working set => real faces occupy a prefix; samples of
+        # the padded tail are masked out of the loss, so the NN kernel
+        # can skip their tiles entirely (n_valid_a).
+        n_q = (
+            (jnp.sum(work_mask, axis=1) * k).astype(jnp.int32)
+            if compacted else None
+        )
         d2, _ = sided_squared_distance(
-            flat, gt_surface_bxsx3, chunk=nn_chunk
+            flat, gt_surface_bxsx3, chunk=nn_chunk, n_valid_a=n_q
         )
         d = jnp.sqrt(d2 + EPS).reshape(b, f, k)
         w = work_mask[:, :, None]

@@ -83,6 +83,7 @@ def nearest_neighbor(
     chunk: int = 2048,
     query_chunk: int = 8192,
     use_pallas=None,
+    n_queries=None,
 ):
     """Index of the nearest reference point per query.
 
@@ -104,7 +105,7 @@ def nearest_neighbor(
     if use_pallas:
         from .nearest_pallas import nearest_neighbor_pallas
 
-        return nearest_neighbor_pallas(q, p, n_valid)
+        return nearest_neighbor_pallas(q, p, n_valid, n_queries=n_queries)
     d2, idx = jax.vmap(
         lambda a, b, n: query_tiled(
             lambda qq: _nn_single(qq, b, n, chunk), a, query_chunk
@@ -119,6 +120,7 @@ def sided_squared_distance(
     n_valid_b=None,
     chunk: int = 2048,
     query_chunk: int = 8192,
+    n_valid_a=None,
 ):
     """Differentiable one-sided squared distance a -> b.
 
@@ -126,7 +128,10 @@ def sided_squared_distance(
     the gather so gradients flow to both clouds (matching the reference's
     NN + gather pattern at mesh_utils.py:360-366).
     """
-    _, idx = nearest_neighbor(a_bxnx3, b_bxmx3, n_valid_b, chunk, query_chunk)
+    _, idx = nearest_neighbor(
+        a_bxnx3, b_bxmx3, n_valid_b, chunk, query_chunk,
+        n_queries=n_valid_a,
+    )
     closest = jnp.take_along_axis(
         b_bxmx3, idx[..., None].astype(jnp.int32), axis=1
     )

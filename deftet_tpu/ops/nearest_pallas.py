@@ -30,13 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1.0e30
 
 
-def _nn_kernel(q_ref, r_ref, nvalid_ref, d_ref, i_ref, *, m_chunk: int):
+def _nn_kernel(q_ref, r_ref, nvalid_ref, nq_ref, d_ref, i_ref, *,
+               m_chunk: int):
     """One query tile vs the full reference cloud.
 
     q_ref: (3, TILE_P) VMEM (queries transposed — big axis in lanes);
     r_ref: (M_pad, 3) VMEM (refs row-major — column reads give
     (m_chunk, 1) without a lane/sublane transpose);
     nvalid_ref: (1, 1) SMEM — count of real reference points;
+    nq_ref: (1, 1) SMEM — count of real QUERIES: tiles that lie entirely
+    in the padded/masked tail (e.g. the unused part of a compacted
+    boundary-face sample budget) skip the whole reference scan;
     d_ref/i_ref: (n_tiles, TILE_P) FULL-array VMEM outputs — the kernel
     writes row program_id (full blocks sidestep Mosaic's (8, 128)
     block-tiling constraint, which size-1 blocked dims violate).
@@ -44,6 +48,7 @@ def _nn_kernel(q_ref, r_ref, nvalid_ref, d_ref, i_ref, *, m_chunk: int):
     tile_p = q_ref.shape[1]
     m_pad = r_ref.shape[0]
     n_valid = nvalid_ref[0, 0]
+    n_queries = nq_ref[0, 0]
     row = pl.program_id(0)
 
     qx = q_ref[0:1, :]  # (1, TILE_P)
@@ -82,9 +87,17 @@ def _nn_kernel(q_ref, r_ref, nvalid_ref, d_ref, i_ref, *, m_chunk: int):
         jnp.full((1, tile_p), _BIG, dtype=jnp.float32),
         jnp.zeros((1, tile_p), dtype=jnp.int32),
     )
-    best_d, best_i = jax.lax.fori_loop(0, m_pad // m_chunk, body, init)
-    d_ref[pl.ds(row, 1), :] = jnp.maximum(best_d, 0.0)
-    i_ref[pl.ds(row, 1), :] = best_i
+
+    @pl.when(row * tile_p < n_queries)
+    def _run():
+        best_d, best_i = jax.lax.fori_loop(0, m_pad // m_chunk, body, init)
+        d_ref[pl.ds(row, 1), :] = jnp.maximum(best_d, 0.0)
+        i_ref[pl.ds(row, 1), :] = best_i
+
+    @pl.when(row * tile_p >= n_queries)
+    def _skip():
+        d_ref[pl.ds(row, 1), :] = jnp.zeros((1, tile_p), jnp.float32)
+        i_ref[pl.ds(row, 1), :] = jnp.zeros((1, tile_p), jnp.int32)
 
 
 def _pad_to(x, axis, multiple):
@@ -104,11 +117,16 @@ def nn_pallas_single(
     query_px3: jnp.ndarray,
     refs_mx3: jnp.ndarray,
     n_valid,
+    n_queries=None,
     tile_p: int = 512,
     m_chunk: int = 2048,
     interpret: bool = False,
 ):
-    """(d2 (P,), idx (P,)) nearest reference per query (one sample)."""
+    """(d2 (P,), idx (P,)) nearest reference per query (one sample).
+
+    ``n_queries``: count of real queries (rest is padding whose outputs
+    are never consumed) — fully-padded tiles skip the reference scan.
+    """
     p = query_px3.shape[0]
     qt = _pad_to(
         jnp.swapaxes(query_px3.astype(jnp.float32), 0, 1), 1, tile_p
@@ -117,6 +135,9 @@ def nn_pallas_single(
     p_pad = qt.shape[1]
     n_tiles = p_pad // tile_p
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    if n_queries is None:
+        n_queries = p
+    nq = jnp.asarray(n_queries, jnp.int32).reshape(1, 1)
 
     d2, idx = pl.pallas_call(
         functools.partial(_nn_kernel, m_chunk=m_chunk),
@@ -131,6 +152,8 @@ def nn_pallas_single(
             ),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((n_tiles, tile_p), lambda i: (0, 0),
@@ -143,7 +166,7 @@ def nn_pallas_single(
             jax.ShapeDtypeStruct((n_tiles, tile_p), jnp.int32),
         ],
         interpret=interpret,
-    )(qt, rt, nv)
+    )(qt, rt, nv, nq)
     return d2.reshape(-1)[:p], idx.reshape(-1)[:p]
 
 
@@ -151,15 +174,20 @@ def nearest_neighbor_pallas(
     query_bxpx3: jnp.ndarray,
     points_bxmx3: jnp.ndarray,
     n_valid=None,
+    n_queries=None,
     tile_p: int = 512,
     m_chunk: int = 2048,
     interpret: bool = False,
 ):
-    """Batched fused NN; same contract as ops.nearest.nearest_neighbor."""
+    """Batched fused NN; same contract as ops.nearest.nearest_neighbor.
+    ``n_queries`` (B,) optionally marks the count of real queries per
+    sample (outputs past it are unconsumed padding)."""
     q = jax.lax.stop_gradient(query_bxpx3)
     r = jax.lax.stop_gradient(points_bxmx3)
     if n_valid is None:
         n_valid = jnp.full(q.shape[0], r.shape[1], dtype=jnp.int32)
+    if n_queries is None:
+        n_queries = jnp.full(q.shape[0], q.shape[1], dtype=jnp.int32)
     # lax.map (sequential over batch) rather than vmap: Mosaic requires
     # the last two block dims to be (8, 128)-tileable, which a vmapped
     # size-1 batch block dimension violates for 1/2-D outputs.
@@ -167,5 +195,5 @@ def nearest_neighbor_pallas(
         lambda args: nn_pallas_single(
             *args, tile_p=tile_p, m_chunk=m_chunk, interpret=interpret
         ),
-        (q, r, n_valid),
+        (q, r, n_valid, n_queries),
     )

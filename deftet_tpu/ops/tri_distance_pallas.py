@@ -29,20 +29,31 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1.0e30
 
 
-def _tri_kernel(q_ref, tri_ref, mask_ref, d_ref, i_ref, *, f_chunk: int):
+def _tri_kernel(q_ref, tri_ref, mask_ref, nact_ref, d_ref, i_ref, *,
+                f_chunk: int):
     """q_ref (TILE_P, 3) row-major (column reads give (TILE_P, 1) with no
     transpose); tri_ref (9, F_pad); mask_ref (1, F_pad) [0/1];
+    nact_ref (1, 1) SMEM — 1 + index of the last unmasked face: chunks
+    beyond it are all padding and their whole distance block is skipped
+    (compacted boundary subsets put real faces first, so typically only
+    ~n_boundary of the max_boundary_faces budget is scanned);
     outputs (P_pad, 1) with (TILE_P, 1) grid blocks."""
     tile_p = q_ref.shape[0]
     f_pad = tri_ref.shape[1]
+    n_active = nact_ref[0, 0]
 
     px = q_ref[:, 0:1]  # (TILE_P, 1)
     py = q_ref[:, 1:2]
     pz = q_ref[:, 2:3]
 
     def body(c, carry):
-        best_d, best_i = carry  # (TILE_P, 1)... no — (1, TILE_P)? see below
         start = c * f_chunk
+        return jax.lax.cond(
+            start < n_active, _chunk, lambda cc, _s: cc, carry, start
+        )
+
+    def _chunk(carry, start):
+        best_d, best_i = carry  # (TILE_P, 1) each
 
         def tri_row(k):
             return tri_ref[k:k + 1, pl.ds(start, f_chunk)]  # (1, f_chunk)
@@ -162,6 +173,11 @@ def tri_argmin_pallas_single(
     mask = _pad_to(
         face_mask_f.astype(jnp.float32)[None], 1, f_chunk
     )  # (1, F_pad)
+    # 1 + last unmasked index (0 if none): padding chunks are skipped
+    f = face_mask_f.shape[0]
+    any_on = jnp.any(face_mask_f > 0)
+    last = f - jnp.argmax((face_mask_f > 0)[::-1])
+    n_active = jnp.where(any_on, last, 0).astype(jnp.int32).reshape(1, 1)
     n_tiles = qt.shape[0] // tile_p
 
     d2, idx = pl.pallas_call(
@@ -174,6 +190,8 @@ def tri_argmin_pallas_single(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_p, 1), lambda i: (i, 0),
@@ -186,7 +204,7 @@ def tri_argmin_pallas_single(
             jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
         ],
         interpret=interpret,
-    )(qt, rows, mask)
+    )(qt, rows, mask, n_active)
     return idx[:p, 0]
 
 

@@ -376,3 +376,48 @@ def test_pallas_lattice_stencil_matches_conv():
     np.testing.assert_allclose(
         np.asarray(g_ref), np.asarray(g_got), rtol=3e-2, atol=3e-2
     )
+
+
+def test_pallas_nn_query_tile_skip():
+    """Tiles past n_queries are skipped; the real prefix is unchanged."""
+    from deftet_tpu.ops.nearest import nearest_neighbor
+    from deftet_tpu.ops.nearest_pallas import nearest_neighbor_pallas
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 700, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-1, 1, (1, 200, 3)).astype(np.float32))
+    n_q = jnp.asarray([300], jnp.int32)
+    d_ref, i_ref = nearest_neighbor(q, r, use_pallas=False)
+    d_s, i_s = nearest_neighbor_pallas(
+        q, r, n_queries=n_q, tile_p=128, m_chunk=64, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i_ref)[0, :300], np.asarray(i_s)[0, :300]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_ref)[0, :300], np.asarray(d_s)[0, :300],
+        rtol=1e-5, atol=1e-6,
+    )
+    # tiles fully past n_queries (>=384 with tile 128) were skipped
+    np.testing.assert_array_equal(np.asarray(i_s)[0, 384:], 0)
+    np.testing.assert_array_equal(np.asarray(d_s)[0, 384:], 0.0)
+
+
+def test_pallas_tri_argmin_chunk_skip():
+    """Face chunks past the last unmasked face are skipped without
+    changing the argmin on the masked set."""
+    from deftet_tpu.ops.tri_distance import point_to_mesh_squared_distance
+    from deftet_tpu.ops.tri_distance_pallas import tri_argmin_pallas
+
+    rng = np.random.default_rng(10)
+    pts = jnp.asarray(rng.uniform(-1, 1, (1, 90, 3)).astype(np.float32))
+    tri = jnp.asarray(rng.uniform(-1, 1, (1, 300, 3, 3)).astype(np.float32))
+    mask = np.zeros((1, 300), np.float32)
+    mask[0, :70] = 1.0  # only the first 70 faces are real
+    idx = tri_argmin_pallas(
+        pts, tri, jnp.asarray(mask), tile_p=64, f_chunk=64, interpret=True
+    )
+    from deftet_tpu.ops.tri_distance import _argmin_face_single
+
+    idx_ref = _argmin_face_single(pts[0], tri[0], jnp.asarray(mask)[0], 64)
+    np.testing.assert_array_equal(np.asarray(idx)[0], np.asarray(idx_ref))
