@@ -107,6 +107,44 @@ class TetScene:
         return self.coef * (jnp.asarray(self.points_px3) + params["mov"])
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str, params: Dict[str, jnp.ndarray]) -> None:
+        """Persist topology + optimizable params in one npz.
+
+        The reference overrides state_dict/load_state_dict to ship
+        points/tets/feat tensors because carving/subdivision change the
+        tet count (3_model/deftet.py:480-501); same contract here.
+        """
+        import numpy as np
+
+        np.savez(
+            path,
+            points=self.points_px3,
+            tets=self.tets_tx4,
+            coef=np.float32(self.coef),
+            feat_dim=np.int32(self.feat_dim),
+            feat=np.asarray(params["feat"]),
+            mov=np.asarray(params["mov"]),
+        )
+
+    @classmethod
+    def load_state(cls, path: str):
+        """(scene, params) from save_state output; topology rebuilt."""
+        import numpy as np
+
+        with np.load(path) as z:
+            scene = cls(
+                points_px3=z["points"].astype(np.float32),
+                tets_tx4=z["tets"].astype(np.int32),
+                coef=float(z["coef"]),
+                feat_dim=int(z["feat_dim"]),
+            )
+            params = {
+                "feat": jnp.asarray(z["feat"].astype(np.float32)),
+                "mov": jnp.asarray(z["mov"].astype(np.float32)),
+            }
+        return scene, params
+
+    # ------------------------------------------------------------------
     def render(
         self,
         params: Dict[str, jnp.ndarray],

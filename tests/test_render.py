@@ -200,3 +200,44 @@ def test_scene_render_carve_subdivide():
     g = jax.grad(loss)(params2)
     assert np.isfinite(np.asarray(g["mov"])).all()
     assert np.abs(np.asarray(g["feat"])).sum() > 0
+
+
+def test_scene_state_roundtrip(tmp_path):
+    """save_state/load_state persist topology + params across a carve
+    (the reference's state_dict override, 3_model/deftet.py:480-501)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from deftet_tpu.render.scene import TetScene
+    from deftet_tpu.tetgrid import build_tet_grid
+
+    scene = TetScene.from_grid(build_tet_grid(4), coef=2.0)
+    params = scene.init_params()
+    rng = np.random.default_rng(0)
+    params = {
+        "feat": jnp.asarray(
+            rng.normal(size=params["feat"].shape).astype(np.float32)
+        ),
+        "mov": jnp.asarray(
+            rng.normal(scale=0.01, size=params["mov"].shape).astype(
+                np.float32
+            )
+        ),
+    }
+    # carve so the tet count differs from the fresh grid
+    assert scene.carve(params, threshold=0.55, neighbor_levels=0)
+    n_tets = scene.n_tets
+
+    path = str(tmp_path / "scene.npz")
+    scene.save_state(path, params)
+    scene2, params2 = TetScene.load_state(path)
+    assert scene2.n_tets == n_tets
+    np.testing.assert_array_equal(scene2.tets_tx4, scene.tets_tx4)
+    np.testing.assert_array_equal(scene2.faces_fx3, scene.faces_fx3)
+    np.testing.assert_allclose(
+        np.asarray(params2["feat"]), np.asarray(params["feat"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene2.world_points(params2)),
+        np.asarray(scene.world_points(params)),
+    )
