@@ -79,10 +79,18 @@ class TrainConfig:
 
     # -- surface losses ------------------------------------------------------
     per_face_samples: int = 20     # mesh_utils.py:290-299
-    # Static budget of boundary faces for the chamfer/analytic surface
-    # terms; 0 = all interior faces.  A closed surface at res r has O(r^2)
-    # boundary faces, so ~16 r^2 is lossless in practice.
-    max_boundary_faces: int = 0
+    # Static budget of boundary faces for the chamfer/analytic/normal
+    # surface terms.  -1 = auto (16 r^2, capped at the face count): a
+    # closed surface at grid res r has O(r^2) boundary faces, so the
+    # auto budget is lossless in practice while keeping the surface-loss
+    # working set ~r times smaller than the full face set.  0 = all
+    # interior faces (no compaction).
+    max_boundary_faces: int = -1
+
+    def resolved_max_boundary_faces(self) -> int:
+        if self.max_boundary_faces < 0:
+            return 16 * self.res * self.res
+        return self.max_boundary_faces
     timing: bool = False
 
     # -- lap (refinement) layer (config.py:525-542, pc_model.py:231-254) ----

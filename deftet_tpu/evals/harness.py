@@ -184,7 +184,7 @@ def extract_predicted_surface(
     faces_b, mask_b = boundary_faces_from_occupancy(
         pred_occ, statics.face_fx3, statics.face_tet_fx2
     )
-    budget = config.max_boundary_faces or faces_b.shape[1]
+    budget = config.resolved_max_boundary_faces() or faces_b.shape[1]
     work_faces, work_mask = select_boundary_subset(faces_b, mask_b, budget)
     return (
         np.asarray(tet_pos), np.asarray(work_faces), np.asarray(work_mask)
@@ -260,7 +260,7 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         faces_b, mask_b = boundary_faces_from_occupancy(
             pred_occ, statics.face_fx3, statics.face_tet_fx2
         )
-        budget = config.max_boundary_faces or faces_b.shape[1]
+        budget = config.resolved_max_boundary_faces() or faces_b.shape[1]
         work_faces, work_mask = select_boundary_subset(
             faces_b, mask_b, budget
         )

@@ -159,14 +159,17 @@ def lattice_neighbor_mean(
 
 
 def _lnm_fwd(x, inv_deg, n, offsets, interpret):
-    return lattice_neighbor_mean(x, inv_deg, n, offsets, interpret), inv_deg
+    out = lattice_neighbor_mean(x, inv_deg, n, offsets, interpret)
+    return out, (inv_deg, jnp.zeros((0,), x.dtype))
 
 
-def _lnm_bwd(n, offsets, interpret, inv_deg, g):
+def _lnm_bwd(n, offsets, interpret, res, g):
+    inv_deg, dtype_token = res
     gx = stencil_sum(
-        g * inv_deg[None, :, None], n, offsets, interpret=interpret
+        (g * inv_deg[None, :, None]).astype(dtype_token.dtype),
+        n, offsets, interpret=interpret,
     )
-    return (gx, None)
+    return (gx.astype(dtype_token.dtype), None)
 
 
 lattice_neighbor_mean.defvjp(_lnm_fwd, _lnm_bwd)

@@ -253,7 +253,7 @@ def forward_losses(
             k_surf, tet_pos, statics.face_fx3, boundary_mask,
             boundary_sign, gt_surface, edge_topo,
             per_face_samples=config.per_face_samples,
-            max_boundary_faces=config.max_boundary_faces,
+            max_boundary_faces=config.resolved_max_boundary_faces(),
             with_chamfer=want(config.lambda_surf_chamfer),
             with_analytic=want(config.lambda_surf),
             with_normal=want(config.lambda_normal),

@@ -421,3 +421,31 @@ def test_pallas_tri_argmin_chunk_skip():
 
     idx_ref = _argmin_face_single(pts[0], tri[0], jnp.asarray(mask)[0], 64)
     np.testing.assert_array_equal(np.asarray(idx)[0], np.asarray(idx_ref))
+
+
+def test_pallas_lattice_stencil_bf16_grad_dtype():
+    """bf16 activations through the stencil custom-vjp: cotangent dtype
+    must match the primal (TPU-only dispatch bug regression test)."""
+    from deftet_tpu.ops.stencil_pallas import lattice_neighbor_mean
+    from deftet_tpu.tetgrid import build_tet_grid
+    from deftet_tpu.train.statics import lattice_offsets
+
+    grid = build_tet_grid(3)
+    offs = tuple(tuple(o) for o in lattice_offsets(grid))
+    n = grid.resolution + 1
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.normal(size=(1, n**3, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    inv_deg = jnp.ones((n**3,), jnp.float32)
+
+    def f(a):
+        return jnp.sum(
+            lattice_neighbor_mean(a, inv_deg, n, offs, True).astype(
+                jnp.float32
+            ) ** 2
+        )
+
+    g = jax.grad(f)(x)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
