@@ -313,9 +313,40 @@ def _compact_indices(boundary_mask_bxf: jnp.ndarray, k: int):
     """
     rank = jnp.cumsum(boundary_mask_bxf.astype(jnp.int32), axis=1)
     targets = jnp.arange(1, k + 1, dtype=rank.dtype)
-    idx = jax.vmap(
-        lambda r: jnp.searchsorted(r, targets, side="left")
-    )(rank).astype(jnp.int32)
+    f_total = rank.shape[1]
+    block = 512
+    if f_total > 4 * block:
+        # Two-level search: a coarse searchsorted over the per-block
+        # cumsum tails (tiny, VMEM-resident) positions each target's
+        # block, then log2(block) binary-search rounds over the full
+        # rank array.  Cuts the big-array gather rounds from
+        # log2(F) (~21) to log2(block) (~9).
+        n_blocks = f_total // block
+        tails = rank[:, block - 1::block][:, :n_blocks]  # (B, n_blocks)
+        bi = jax.vmap(
+            lambda t: jnp.searchsorted(t, targets, side="left")
+        )(tails)  # (B, k) block index, may be n_blocks (tail remainder)
+        lo = (bi * block).astype(jnp.int32)              # first candidate
+        hi = jnp.minimum(lo + block, f_total).astype(jnp.int32)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) // 2
+            vals = jnp.take_along_axis(rank, mid, axis=1)
+            go_right = vals < targets[None]
+            return jnp.where(go_right, mid + 1, lo), jnp.where(
+                go_right, hi, mid
+            )
+
+        import math
+
+        iters = int(math.ceil(math.log2(block))) + 1
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        idx = lo.astype(jnp.int32)
+    else:
+        idx = jax.vmap(
+            lambda r: jnp.searchsorted(r, targets, side="left")
+        )(rank).astype(jnp.int32)
     n = rank[:, -1]
     valid = (
         jnp.arange(k, dtype=n.dtype)[None] < n[:, None]

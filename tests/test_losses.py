@@ -596,3 +596,32 @@ def test_normal_loss_compacted_budget_overflow_consistent():
     )
     np.testing.assert_allclose(got, want, rtol=2e-2)
     assert np.isfinite(got)
+
+
+def test_compact_indices_two_level_matches_searchsorted():
+    """The blocked two-level search must equal plain searchsorted for
+    random masks, including empty rows and overflow."""
+    from deftet_tpu.losses.surface import _compact_indices
+
+    rng = np.random.default_rng(23)
+    f, k = 5000, 64  # f > 4 * block -> two-level path
+    mask = (rng.uniform(size=(3, f)) < 0.01).astype(np.float32)
+    mask[2] = 0.0  # empty row
+    idx, valid = _compact_indices(jnp.asarray(mask), k)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    for b in range(3):
+        rank = np.cumsum(mask[b].astype(np.int64))
+        want = np.searchsorted(rank, np.arange(1, k + 1), side="left")
+        want = np.minimum(want, f - 1)
+        np.testing.assert_array_equal(idx[b], want)
+        n = int(mask[b].sum())
+        np.testing.assert_array_equal(valid[b], (np.arange(k) < n))
+
+    # dense mask (more boundary than budget)
+    mask = (rng.uniform(size=(1, f)) < 0.5).astype(np.float32)
+    idx, valid = _compact_indices(jnp.asarray(mask), k)
+    rank = np.cumsum(mask[0].astype(np.int64))
+    want = np.minimum(
+        np.searchsorted(rank, np.arange(1, k + 1), side="left"), f - 1
+    )
+    np.testing.assert_array_equal(np.asarray(idx)[0], want)
