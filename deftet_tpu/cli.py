@@ -162,6 +162,21 @@ def eval_main(argv=None) -> int:
     }
     with open(experiment.file_path("result_update.json"), "w") as f:
         json.dump(report, f, indent=2)
+    # per-category ampersand-separated tables like eval.py:311-349's
+    # result_update.txt (metric x100, trailing row mean)
+    cats = sorted(per_category) or ["all"]
+    with open(experiment.file_path("result_update.txt"), "a") as f:
+        f.write("cats: " + " ".join(cats) + "\n")
+        keys = sorted(metrics)
+        for k in keys:
+            f.write(k + ": ")
+            vals = [
+                per_category.get(c, metrics).get(k, metrics.get(k, 0.0))
+                for c in cats
+            ]
+            for v in vals:
+                f.write(f"{100 * v:2.2f} &")
+            f.write(f"{100 * sum(vals) / len(vals):2.3f} &\n")
     print(json.dumps(report, indent=2))
     return 0
 
