@@ -175,7 +175,7 @@ class Engine:
     # ----------------------------------------------------------------- train
     def train_epoch(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict:
         """One epoch; returns mean loss terms (train_multigpu.py:161-319)."""
-        sums: Dict[str, float] = {}
+        dev_sums = None  # device-side accumulation: no per-step sync
         n = 0
         t0 = time.perf_counter()
         for batch in batches:
@@ -228,10 +228,16 @@ class Engine:
                     lattice_offsets=self._lattice_offsets,
                     tet_lattice=self._tet_lattice,
                 )
-            for k, v in terms.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            # accumulate on device — float(v) here would force a full
+            # device sync EVERY step (measured ~2x wall at res-50)
+            dev_sums = (
+                dict(terms) if dev_sums is None
+                else {k: dev_sums[k] + v for k, v in terms.items()}
+            )
         self.epoch += 1
-        means = {k: v / max(n, 1) for k, v in sums.items()}
+        means = {
+            k: float(v) / max(n, 1) for k, v in (dev_sums or {}).items()
+        }
         means["steps_per_sec"] = n / max(time.perf_counter() - t0, 1e-9)
         return means
 
