@@ -6,8 +6,10 @@ loss set (occupancy BCE + volume/AMIPS/edge/Laplacian/delta + boundary
 chamfer/analytic/normal surface terms) — and reports steps/sec.
 
 The reference publishes no throughput numbers (BASELINE.md): baseline is
-self-measured.  ``vs_baseline`` is steps/sec relative to a nominal
-1.0 step/s single-accelerator target for this config.
+self-measured.  ``vs_baseline`` is steps/sec relative to the most recent
+prior round's recorded number for the same metric (BENCH_r{N}.json files
+written by the driver at each round end), so regressions are visible;
+first round for a metric falls back to a nominal 1.0 step/s.
 
 Env overrides: BENCH_RES, BENCH_BATCH, BENCH_STEPS, BENCH_SMALL=1 (tiny
 config for CPU smoke runs).
@@ -18,6 +20,28 @@ import os
 import time
 
 import numpy as np
+
+
+def prior_round_baseline(metric: str) -> float | None:
+    """Latest recorded value for `metric` from BENCH_r*.json in repo root."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_val = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if parsed.get("metric") == metric and int(m.group(1)) > best_n:
+                best_n, best_val = int(m.group(1)), float(parsed["value"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return best_val
 
 
 def main():
@@ -112,13 +136,15 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt
+    metric = f"train_step_res{res}_bs{batch}"
+    baseline = prior_round_baseline(metric) or 1.0
     print(
         json.dumps(
             {
-                "metric": f"train_step_res{res}_bs{batch}",
+                "metric": metric,
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / 1.0, 4),
+                "vs_baseline": round(steps_per_sec / baseline, 4),
             }
         )
     )

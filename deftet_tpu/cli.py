@@ -47,13 +47,29 @@ def _split(dataset: ShapeDataset, batch_size: int):
 
 
 def _dataset(config: TrainConfig) -> ShapeDataset:
-    paths = build_dataset(
-        config.dataset_root,
-        n_shapes=config.n_shapes,
-        n_surface=max(config.num_sample_points, config.n_point),
-        n_sdf=config.num_sample_points,
-        seed=config.seed,
-    )
+    if config.mesh_dir:
+        from .data import build_dataset_from_meshes
+
+        paths = build_dataset_from_meshes(
+            config.dataset_root,
+            config.mesh_dir,
+            n_surface=max(config.num_sample_points, config.n_point),
+            n_sdf=config.num_sample_points,
+            seed=config.seed,
+            watertight_res=config.watertight_res,
+            occ_grid_res=config.resolved_occ_grid_res(),
+            with_images=config.use_disn,
+        )
+    else:
+        paths = build_dataset(
+            config.dataset_root,
+            n_shapes=config.n_shapes,
+            n_surface=max(config.num_sample_points, config.n_point),
+            n_sdf=config.num_sample_points,
+            seed=config.seed,
+            occ_grid_res=config.resolved_occ_grid_res(),
+            with_images=config.use_disn,
+        )
     return ShapeDataset(paths)
 
 
@@ -68,6 +84,21 @@ def train_main(argv=None) -> int:
     train_set, val_set = _split(dataset, config.batch_size)
 
     engine = Engine(config)
+    # Persist the split manifest so eval provably runs on the same
+    # held-out shapes (the reference's fixed val dataloader,
+    # train_multigpu.py:469-501); `disjoint` records whether the small-
+    # dataset fallback reused training shapes.
+    with open(engine.experiment.file_path("split.json"), "w") as f:
+        json.dump(
+            {
+                "train": [os.path.abspath(p) for p in train_set.paths],
+                "val": [os.path.abspath(p) for p in val_set.paths],
+                "disjoint": not (
+                    set(train_set.paths) & set(val_set.paths)
+                ),
+            },
+            f, indent=2,
+        )
     print(f"experiment: {engine.experiment.path}", flush=True)
     history = engine.fit(
         lambda: batch_iterator(
@@ -105,8 +136,19 @@ def eval_main(argv=None) -> int:
     engine = Engine(config, experiment=experiment)
     engine.restore(args.checkpoint)
 
-    dataset = _dataset(config)
-    _, val_set = _split(dataset, config.batch_size)
+    # Consume the persisted split manifest when present (auditable
+    # held-out eval); fall back to re-deriving it from config.
+    split_file = os.path.join(args.experiment_path, "split.json")
+    val_set = None
+    if os.path.exists(split_file):
+        with open(split_file) as f:
+            manifest = json.load(f)
+        val_paths = [p for p in manifest.get("val", []) if os.path.exists(p)]
+        if val_paths and len(val_paths) == len(manifest.get("val", [])):
+            val_set = ShapeDataset(val_paths)
+    if val_set is None:
+        dataset = _dataset(config)
+        _, val_set = _split(dataset, config.batch_size)
     means = engine.validate(
         batch_iterator(val_set, config.batch_size)
     )
@@ -178,6 +220,37 @@ def eval_main(argv=None) -> int:
                 f.write(f"{100 * v:2.2f} &")
             f.write(f"{100 * sum(vals) / len(vals):2.3f} &\n")
     print(json.dumps(report, indent=2))
+    return 0
+
+
+def preprocess_main(argv=None) -> int:
+    """Offline mesh-directory ingestion (the reference's first-run
+    DataLoader preprocessing, dataloader.py:118-207, as an explicit
+    command): watertight + surface/SDF sample + occupancy texture each
+    OBJ under --mesh_dir into npz shards at --dataset_root."""
+    parser = argparse.ArgumentParser(prog="deftet-preprocess")
+    parser.add_argument("--mesh_dir", required=True)
+    parser.add_argument("--dataset_root", required=True)
+    parser.add_argument("--n_surface", type=int, default=20000)
+    parser.add_argument("--n_sdf", type=int, default=20000)
+    parser.add_argument("--watertight_res", type=int, default=100)
+    parser.add_argument("--occ_grid_res", type=int, default=64)
+    parser.add_argument("--with_images", action="store_true",
+                        help="also render DISN images + camera matrices")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from .data import build_dataset_from_meshes
+
+    paths = build_dataset_from_meshes(
+        args.dataset_root, args.mesh_dir,
+        n_surface=args.n_surface, n_sdf=args.n_sdf, seed=args.seed,
+        watertight_res=args.watertight_res,
+        num_workers=args.num_workers, occ_grid_res=args.occ_grid_res,
+        with_images=args.with_images,
+    )
+    print(json.dumps({"n_shards": len(paths), "paths": paths}, indent=2))
     return 0
 
 
@@ -285,7 +358,12 @@ def render_main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":  # python -m deftet_tpu.cli train|eval|render ...
+if __name__ == "__main__":  # python -m deftet_tpu.cli <cmd> ...
     cmd = sys.argv[1] if len(sys.argv) > 1 else "train"
-    fn = {"train": train_main, "eval": eval_main, "render": render_main}[cmd]
+    fn = {
+        "train": train_main,
+        "eval": eval_main,
+        "render": render_main,
+        "preprocess": preprocess_main,
+    }[cmd]
     sys.exit(fn(sys.argv[2:]))

@@ -73,6 +73,17 @@ class TrainConfig:
     # "trilinear" is the 8-corner stencil (sub-half-voxel smoother, ~11%
     # slower full step at res-50).
     occ_grid_interp: str = "nearest"
+    # Occupancy-texture resolution baked into dataset shards.  -1 = auto:
+    # max(64, 2*res), keeping the texture voxel at or below half the
+    # tet-center spacing so near-surface GT labels track exact check_sign
+    # at any grid res (at res-70 the old fixed 64^3 voxel was coarser
+    # than the tet spacing).
+    occ_grid_res: int = -1
+
+    def resolved_occ_grid_res(self) -> int:
+        if self.occ_grid_res < 0:
+            return max(64, 2 * self.res)
+        return self.occ_grid_res
     occ_sample: int = 10000        # random tet centers per step (use_mask)
     occ_threshold: float = 0.4     # pred_threshold
     iou_logit_threshold: float = 0.1  # parallel.py:238 thresh=.1 on logits
@@ -89,9 +100,23 @@ class TrainConfig:
 
     def resolved_max_boundary_faces(self) -> int:
         if self.max_boundary_faces < 0:
-            return 16 * self.res * self.res
+            # cap at an interior-face-count upper bound (2 faces per tet,
+            # 6 tets per cell) so the docstring's "capped at the face
+            # count" holds even at res 1
+            return min(16 * self.res * self.res, 12 * self.res**3)
         return self.max_boundary_faces
     timing: bool = False
+
+    # -- DISN image branch (config.py:465, pc_model.py:73-111) --------------
+    # use_disn swaps the PVCNN point encoders for VGG image encoders and
+    # the GCN/MLP decoders for DISN global+local SDF decoders; batches
+    # must carry `imgs` (B, H, W, 3) + `cam_matrix` (B, 4, 4) row-vector
+    # world->screen matrices (the data pipeline renders them offline).
+    use_disn: bool = False
+    disn_image_size: int = 64      # DISNEncoder(image_size=64)
+    disn_local_feature_size: int = 64
+    disn_encoding_dim: int = 1000  # VGG classifier width (global feature)
+    disn_width: float = 1.0        # VGG width multiplier (1.0 = VGG-16-D)
 
     # -- lap (refinement) layer (config.py:525-542, pc_model.py:231-254) ----
     # Second position decoder refining the first head's output.  The
@@ -104,6 +129,13 @@ class TrainConfig:
 
     # -- training schedule extras (train_multigpu.py:145-156, config.py) ----
     pretrain: str = ""             # experiment dir to warm-start params from
+    # Gradient accumulation: split the batch into `grad_accum` sequential
+    # microbatches inside the jitted step (lax.scan), average grads, one
+    # optimizer update.  Peak activation memory drops to the microbatch
+    # size: the paper config (res 70, batch 8 — README.md:59, where the
+    # reference's DataParallel puts bs-1 on each of 8 GPUs) runs on ONE
+    # chip with grad_accum=8.  batch_size must be divisible by it.
+    grad_accum: int = 1
     finetune_occ: bool = False     # drop deform loss from the total; the
     # pos decoder still gets BCE gradient via deformed centers
     # (exact reference behavior, train_multigpu.py:269)
@@ -117,8 +149,18 @@ class TrainConfig:
     experiment_id: str = ""
     logdir: str = "experiments"
     dataset_root: str = "data_cache"
+    # Real-mesh ingestion: when set, train on OBJ meshes under this
+    # directory tree (watertighted + sampled offline,
+    # dataloader.py:118-207) instead of the procedural shape family.
+    mesh_dir: str = ""
+    watertight_res: int = 100      # MakeSurfaceMesh voxelization res
     n_shapes: int = 32
     val_every: int = 1
+    # Best-checkpoint selection metric: run the full inference path on the
+    # val split and select by max IoU over the probability-threshold sweep
+    # [0.1..0.5] on SDF sample points (train_multigpu.py:103,385-419).
+    # Off -> select by the cheap training-style occ_iou instead.
+    val_inference: bool = True
     save_vis: bool = False
     # precision: "bf16" runs encoder/decoder matmuls in bfloat16.
     precision: str = "bf16"
@@ -186,7 +228,7 @@ REFERENCE_COMPAT_FLAGS = (
     "use_pvcnn_occ_decoder", "use_dvr_pos_decoder", "use_dvr_occ_decoder",
     "baseline", "upscale", "use_apex", "finetune_pos", "full_scene",
     "voxel_baseline", "voxel_baseline_res", "mesh_baseline",
-    "meshrcnn_baseline", "disn_baseline", "use_disn", "meshrcnn_threshold",
+    "meshrcnn_baseline", "disn_baseline", "meshrcnn_threshold",
     "pretrain_voxel", "occnet_baseline", "dmc_baseline", "use_distributed",
     "add_geo_feat", "optimize_part", "use_img_conv", "use_dvr_decoder",
     "use_projection", "train_car", "pretrain_occ", "adaptive_sample",

@@ -24,6 +24,7 @@ from .pipeline import (
     mesh_sdf_points,
     make_example,
     build_dataset,
+    build_dataset_from_meshes,
     ShapeDataset,
     batch_iterator,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "mesh_sdf_points",
     "make_example",
     "build_dataset",
+    "build_dataset_from_meshes",
     "ShapeDataset",
     "batch_iterator",
 ]

@@ -189,10 +189,12 @@ def make_example(
     n_sdf: int,
     rng: np.random.Generator,
     occ_grid_res: int = 64,
+    with_image: bool = False,
+    img_size: int = 64,
 ) -> Dict[str, np.ndarray]:
     surface = sample_surface(verts, faces, n_surface, rng)
     sdf_pts, sdf = mesh_sdf_points(verts, faces, n_sdf, rng)
-    return {
+    out = {
         "surface_points": surface.astype(np.float32),
         "sdf_points": sdf_pts,
         "sdf": sdf,
@@ -200,17 +202,44 @@ def make_example(
         "verts": verts.astype(np.float32),
         "faces": faces.astype(np.int32),
     }
+    if with_image:
+        # image + row-vector camera matrix for the DISN branch
+        # (train_multigpu.py:169-181 / layers/disn.py:258-276)
+        from .image_render import random_camera, render_mesh_image
+
+        cam = random_camera(rng)
+        out["imgs"] = render_mesh_image(
+            verts.astype(np.float32), faces, cam, img_size, img_size
+        )
+        out["cam_matrix"] = cam
+    return out
+
+
+def _shard_name(
+    seed: int, i: int, occ_grid_res: int, with_image: bool = False
+) -> str:
+    # non-default options get their own cache key (the default keeps
+    # round-1 cache names valid)
+    suffix = "" if occ_grid_res == 64 else f"_g{occ_grid_res}"
+    if with_image:
+        suffix += "_img"
+    return f"shape_{seed}_{i:05d}{suffix}.npz"
 
 
 def _build_one_shard(args) -> str:
-    root, seed, i, n_surface, n_sdf, level = args
-    path = os.path.join(root, f"shape_{seed}_{i:05d}.npz")
+    root, seed, i, n_surface, n_sdf, level, occ_grid_res, with_image = args
+    path = os.path.join(
+        root, _shard_name(seed, i, occ_grid_res, with_image)
+    )
     if os.path.exists(path):
         return path
     shape_seed = seed * 10007 + i
     verts, faces = random_shape(shape_seed, level=level)
     rng = np.random.default_rng(seed * 65537 + i)
-    ex = make_example(verts, faces, n_surface, n_sdf, rng)
+    ex = make_example(
+        verts, faces, n_surface, n_sdf, rng, occ_grid_res=occ_grid_res,
+        with_image=with_image,
+    )
     ex["category"] = np.str_(shape_family(shape_seed))
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **ex)
@@ -226,6 +255,8 @@ def build_dataset(
     seed: int = 0,
     level: int = 3,
     num_workers: int = 8,
+    occ_grid_res: int = 64,
+    with_images: bool = False,
 ) -> List[str]:
     """Generate + cache npz shards; returns the shard paths.
 
@@ -235,10 +266,11 @@ def build_dataset(
     """
     os.makedirs(root, exist_ok=True)
     jobs = [
-        (root, seed, i, n_surface, n_sdf, level) for i in range(n_shapes)
+        (root, seed, i, n_surface, n_sdf, level, occ_grid_res, with_images)
+        for i in range(n_shapes)
     ]
     pending = [j for j in jobs if not os.path.exists(
-        os.path.join(root, f"shape_{seed}_{j[2]:05d}.npz")
+        os.path.join(root, _shard_name(seed, j[2], occ_grid_res, with_images))
     )]
     if pending and num_workers > 1:
         import multiprocessing as mp
@@ -250,8 +282,90 @@ def build_dataset(
         for j in pending:
             _build_one_shard(j)
     return [
-        os.path.join(root, f"shape_{seed}_{i:05d}.npz")
+        os.path.join(root, _shard_name(seed, i, occ_grid_res, with_images))
         for i in range(n_shapes)
+    ]
+
+
+def _build_mesh_shard(args) -> str:
+    (root, mesh_path, n_surface, n_sdf, seed, watertight_res,
+     occ_grid_res, with_image) = args
+    stem = os.path.splitext(os.path.basename(mesh_path))[0]
+    path = os.path.join(root, f"mesh_{stem}.npz")
+    if os.path.exists(path):
+        return path
+    from ..utils.objio import load_obj
+    from .watertight import watertight_from_mesh
+
+    raw_v, raw_f = load_obj(mesh_path)
+    verts, faces = watertight_from_mesh(raw_v, raw_f, res=watertight_res)
+    rng = np.random.default_rng(
+        seed ^ (hash(stem) & 0x7FFFFFFF)
+    )
+    ex = make_example(
+        verts, faces, n_surface, n_sdf, rng, occ_grid_res=occ_grid_res,
+        with_image=with_image,
+    )
+    cat = os.path.basename(os.path.dirname(os.path.abspath(mesh_path)))
+    ex["category"] = np.str_(cat or "mesh")
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **ex)
+    os.replace(tmp, path)
+    return path
+
+
+def build_dataset_from_meshes(
+    root: str,
+    mesh_dir: str,
+    n_surface: int = 20000,
+    n_sdf: int = 20000,
+    seed: int = 0,
+    watertight_res: int = 100,
+    num_workers: int = 8,
+    occ_grid_res: int = 64,
+    with_images: bool = False,
+) -> List[str]:
+    """Ingest a directory tree of OBJ meshes into cached npz shards.
+
+    The real-data path of the reference (dataloader.py:118-207): each
+    mesh is watertighted (voxelize res-`watertight_res` -> boundary
+    surface -> laplacian smooth, MakeSurfaceMesh dataloader.py:16-66),
+    then surface/SDF-sampled exactly like the procedural pipeline.
+    Shards are cached per mesh file; categories come from the parent
+    directory name (the ShapeNet class-dir convention).
+    """
+    meshes = []
+    for dirpath, _, files in sorted(os.walk(mesh_dir)):
+        for f in sorted(files):
+            if f.lower().endswith(".obj"):
+                meshes.append(os.path.join(dirpath, f))
+    if not meshes:
+        raise FileNotFoundError(f"no .obj meshes under {mesh_dir}")
+    os.makedirs(root, exist_ok=True)
+    jobs = [
+        (root, m, n_surface, n_sdf, seed, watertight_res, occ_grid_res,
+         with_images)
+        for m in meshes
+    ]
+    pending = [j for j in jobs if not os.path.exists(os.path.join(
+        root,
+        f"mesh_{os.path.splitext(os.path.basename(j[1]))[0]}.npz",
+    ))]
+    if pending and num_workers > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(num_workers, len(pending))) as pool:
+            pool.map(_build_mesh_shard, pending)
+    else:
+        for j in pending:
+            _build_mesh_shard(j)
+    return [
+        os.path.join(
+            root,
+            f"mesh_{os.path.splitext(os.path.basename(m))[0]}.npz",
+        )
+        for m in meshes
     ]
 
 
@@ -292,6 +406,9 @@ class ShapeDataset:
         }
         if "occ_grid" in ex:  # older caches may predate the grid oracle
             out["occ_grid"] = ex["occ_grid"]
+        if "imgs" in ex:  # DISN image branch
+            out["imgs"] = ex["imgs"]
+            out["cam_matrix"] = ex["cam_matrix"]
         if "category" in ex:
             out["category"] = str(ex["category"])
         return out

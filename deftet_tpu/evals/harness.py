@@ -78,7 +78,7 @@ def sample_mesh_points(
 
 
 def decode_occ_full_grid(
-    model, variables, centers_soa, pyramid, chunk: int = 100_000
+    model, variables, centers_soa, pyramid, chunk: int = 100_000, cam=None
 ):
     """Chunked full-grid occupancy probabilities (split_decode_occ,
     pc_model.py:332-366).  `centers_soa` = (cx, cy, cz) each (B, T) —
@@ -101,7 +101,7 @@ def decode_occ_full_grid(
         tile_bxcx3 = jnp.stack(tile, axis=-1)
         return model.apply(
             variables, tile_bxcx3, pyramid,
-            train=False, method=model.decode_occ,
+            train=False, cam_bx4x4=cam, method=model.decode_occ,
         )
 
     logits = jax.lax.map(one, tiles)  # (n_chunks, B, chunk)
@@ -157,7 +157,10 @@ def extract_predicted_surface(
         variables["batch_stats"] = state.batch_stats
     surface = batch["surface_points"]
     bsz = surface.shape[0]
-    inp = surface[:, : config.n_point]
+    if config.use_disn:
+        inp, cam = batch["imgs"], batch["cam_matrix"]
+    else:
+        inp, cam = surface[:, : config.n_point], None
     init_pos = jnp.broadcast_to(
         statics.init_pos_nx3[None], (bsz,) + statics.init_pos_nx3.shape
     )
@@ -170,13 +173,13 @@ def extract_predicted_surface(
     adj, lat_res = adjacency_for(statics, config, lattice_offsets)
     _, tet_pos, _ = model.apply(
         variables, init_pos, pyr_pos, pos_mask,
-        train=False, adj=adj, lattice_res=lat_res,
+        train=False, adj=adj, lattice_res=lat_res, cam_bx4x4=cam,
         method=model.decode_pos,
     )
     soa = tet_soa_for(tet_pos, statics, config, tet_lattice)
     logits = decode_occ_full_grid(
         model, variables, tet_centers_soa(soa), pyr_occ,
-        chunk=min(100_000, statics.n_tets),
+        chunk=min(100_000, statics.n_tets), cam=cam,
     )
     pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
         jnp.float32
@@ -223,11 +226,15 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
 
         surface = batch["surface_points"]
         bsz = surface.shape[0]
-        inp = surface[:, : config.n_point]
-        if config.add_input_noise:
-            inp = inp + config.input_noise * jax.random.normal(
-                jax.random.PRNGKey(config.seed), inp.shape, inp.dtype
-            )
+        if config.use_disn:
+            inp, cam = batch["imgs"], batch["cam_matrix"]
+        else:
+            cam = None
+            inp = surface[:, : config.n_point]
+            if config.add_input_noise:
+                inp = inp + config.input_noise * jax.random.normal(
+                    jax.random.PRNGKey(config.seed), inp.shape, inp.dtype
+                )
 
         init_pos = jnp.broadcast_to(
             statics.init_pos_nx3[None], (bsz,) + statics.init_pos_nx3.shape
@@ -241,7 +248,7 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         adj, lat_res = adjacency_for(statics, config, lattice_offsets)
         _, tet_pos, _ = model.apply(
             variables, init_pos, pyr_pos, pos_mask,
-            train=False, adj=adj, lattice_res=lat_res,
+            train=False, adj=adj, lattice_res=lat_res, cam_bx4x4=cam,
             method=model.decode_pos,
         )
         soa = tet_soa_for(tet_pos, statics, config, tet_lattice)
@@ -250,7 +257,7 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         # ---- full-grid occupancy + threshold ---------------------------
         logits = decode_occ_full_grid(
             model, variables, centers_soa, pyr_occ,
-            chunk=min(100_000, statics.n_tets),
+            chunk=min(100_000, statics.n_tets), cam=cam,
         )
         pred_occ = (jax.nn.sigmoid(logits) > config.occ_threshold).astype(
             jnp.float32
@@ -275,6 +282,22 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         occ_iou = jax.vmap(lambda p, t: iou(p, t, thresh=0.5))(
             pred_inside, gt_inside
         )
+        # Reference-parity selection metric: paste the occupancy
+        # *probability* onto the SDF points and sweep IoU over the
+        # threshold list [0.1..0.5]; max over thresholds drives
+        # best-checkpoint selection (train_multigpu.py:103,385-413).
+        prob_at_pts = paste_occupancy(jax.nn.sigmoid(logits), cond) * (
+            cond >= 0
+        )
+        sweep = {
+            f"val_iou_{t:.1f}": jnp.mean(
+                jax.vmap(lambda p, g, t=t: iou(p, g, thresh=t))(
+                    prob_at_pts, gt_inside
+                )
+            )
+            for t in (0.1, 0.2, 0.3, 0.4, 0.5)
+        }
+        val_iou_max = jnp.stack(list(sweep.values())).max()
 
         # ---- surface metrics -------------------------------------------
         n_res = config.num_sample_points
@@ -304,6 +327,8 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
 
         return {
             "occ_iou": jnp.mean(occ_iou),
+            "val_iou_max": val_iou_max,
+            **sweep,
             "f_score": jnp.mean(fs),
             "f_score_extend": jnp.mean(fs_ext),
             "chamfer": jnp.mean(ch),
@@ -311,6 +336,12 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
             "hausdorff": jnp.mean(haus_avg),
             "hausdorff_max": jnp.mean(haus_max),
             "n_boundary": jnp.mean(jnp.sum(mask_b, axis=1)),
+            # >0 means the static budget truncated the predicted surface
+            # to a spatially biased first-k prefix — raise
+            # max_boundary_faces if this shows up in eval reports
+            "boundary_overflow": jnp.mean(
+                jnp.maximum(jnp.sum(mask_b, axis=1) - budget, 0.0)
+            ),
         }
 
     return jax.jit(infer)

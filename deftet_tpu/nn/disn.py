@@ -36,9 +36,14 @@ _IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
 class VGG16Features(nn.Module):
-    """VGG-D conv stack; returns (global_encoding, [pre-pool features])."""
+    """VGG-D conv stack; returns (global_encoding, [pre-pool features]).
+
+    `width` scales every conv/dense width (1.0 = the exact VGG-16-D
+    table) — sub-1 widths make the image branch testable at toy sizes.
+    """
 
     num_classes: int = 1000
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, images_bxhxwx3: jnp.ndarray):
@@ -49,14 +54,16 @@ class VGG16Features(nn.Module):
                 intermediates.append(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(int(v), (3, 3), padding=1)(x)
+                x = nn.Conv(max(int(int(v) * self.width), 8), (3, 3),
+                            padding=1)(x)
                 x = nn.relu(x)
         # classifier head (adaptive 7x7 avgpool -> MLP, torchvision VGG)
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 7, 7, c), method="linear")
         x = x.reshape(b, -1)
-        x = nn.relu(nn.Dense(4096)(x))
-        x = nn.relu(nn.Dense(4096)(x))
+        hidden = max(int(4096 * self.width), 16)
+        x = nn.relu(nn.Dense(hidden)(x))
+        x = nn.relu(nn.Dense(hidden)(x))
         x = nn.Dense(self.num_classes)(x)
         return x, intermediates
 
@@ -68,6 +75,7 @@ class DISNEncoder(nn.Module):
     local_feature_size: int = 137
     normalize: bool = True
     image_size: int | None = None
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, images_bxhxwx3: jnp.ndarray):
@@ -83,7 +91,7 @@ class DISNEncoder(nn.Module):
         if self.normalize:
             x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
         global_feat, maps = VGG16Features(
-            num_classes=self.image_encoding_dim
+            num_classes=self.image_encoding_dim, width=self.width
         )(x)
         s = self.local_feature_size
         resized = [

@@ -105,8 +105,34 @@ class DeformableTetNetwork(nn.Module):
     occ_mlp_hidden: Sequence[float] = (256, 0.2, 256, 0.2, 128, 0.2, 64)
     # compute dtype for matmuls/convs (params stay float32); None = float32
     dtype: object = None
+    # -- DISN image branch (pc_model.py:73-111: point_cloud=False swaps
+    # the PVCNN encoders for DISNEncoders and the GCN/MLP decoders for
+    # DISNDecoders; features at query points = global image encoding +
+    # camera-projected local VGG features + xyz) --------------------------
+    use_disn: bool = False
+    disn_image_size: int = 64
+    disn_local_feature_size: int = 64
+    disn_encoding_dim: int = 1000
+    disn_width: float = 1.0
 
     def setup(self):
+        if self.use_disn:
+            from .disn import DISNDecoder, DISNEncoder
+
+            mk_enc = lambda: DISNEncoder(  # noqa: E731
+                image_size=self.disn_image_size,
+                local_feature_size=self.disn_local_feature_size,
+                image_encoding_dim=self.disn_encoding_dim,
+                width=self.disn_width,
+            )
+            self.encoder_pos = mk_enc()
+            if self.use_two_encoder:
+                self.encoder_occ = mk_enc()
+            self.decoder_pos = DISNDecoder(out_features=3)
+            self.decoder_occ = DISNDecoder(out_features=1)
+            if self.use_lap_layer:
+                self.lap_decoder_pos = DISNDecoder(out_features=3)
+            return
         self.encoder_pos = PVCNNEncoder(
             blocks=self.blocks, scale_pvcnn=self.scale_pvcnn,
             dtype=self.dtype,
@@ -137,14 +163,37 @@ class DeformableTetNetwork(nn.Module):
                 dtype=self.dtype,
             )
 
-    def encode(self, input_points_bxnx3, train: bool = True):
-        """Returns (pos_pyramid, occ_pyramid) of voxel features."""
-        pyr_pos = self.encoder_pos(input_points_bxnx3, train=train)
+    def encode(self, inputs, train: bool = True):
+        """Returns (pos_encoding, occ_encoding).
+
+        Point branch: `inputs` = (B, N, 3) surface points -> voxel-feature
+        pyramids.  DISN branch: `inputs` = (B, H, W, 3) images ->
+        (global_feat, local_maps) per encoder (encode_images,
+        pc_model.py:164-167)."""
+        enc_pos = self.encoder_pos(inputs, train=train) if not self.use_disn \
+            else self.encoder_pos(inputs)
         if self.use_two_encoder:
-            pyr_occ = self.encoder_occ(input_points_bxnx3, train=train)
+            enc_occ = self.encoder_occ(inputs, train=train) \
+                if not self.use_disn else self.encoder_occ(inputs)
         else:
-            pyr_occ = pyr_pos
-        return pyr_pos, pyr_occ
+            enc_occ = enc_pos
+        return enc_pos, enc_occ
+
+    def _disn_point_delta(self, decoder, p_bxnx3, encoding, cam_bx4x4):
+        """DISN per-point prediction: camera-projected local VGG samples +
+        global image code + query xyz (the working form of the
+        reference's use_disn branch, pc_model.py:213-219 +
+        disn.py:279-298's intended _extract_point_image_features)."""
+        from .disn import sample_image_features
+
+        global_feat, maps = encoding
+        if cam_bx4x4 is None:
+            cam_bx4x4 = jnp.broadcast_to(
+                jnp.eye(4, dtype=p_bxnx3.dtype)[None],
+                (p_bxnx3.shape[0], 4, 4),
+            )
+        local = sample_image_features(maps, p_bxnx3, cam_bx4x4)
+        return decoder(p_bxnx3, global_feat, local)
 
     def decode_pos(
         self,
@@ -154,6 +203,7 @@ class DeformableTetNetwork(nn.Module):
         train: bool = True,
         adj: Optional[VertexAdjacency] = None,
         lattice_res: int = 0,
+        cam_bx4x4: Optional[jnp.ndarray] = None,
     ):
         """Returns (pos_delta, tet_pos, ori_pos_delta).
 
@@ -164,6 +214,28 @@ class DeformableTetNetwork(nn.Module):
         if not self.train_def:
             zero = jnp.zeros_like(p_bxnx3)
             return zero, p_bxnx3, zero
+        if self.use_disn:
+            delta = self._disn_point_delta(
+                self.decoder_pos, p_bxnx3, pyramid, cam_bx4x4
+            ) * 0.1
+            ori_delta = delta
+            if self.scale_pos:
+                scale = 0.2
+                delta = nn.sigmoid(delta) * scale - scale / 2
+            if pos_mask_bxnx3 is not None:
+                delta = delta * pos_mask_bxnx3
+            pos = p_bxnx3 + delta
+            if self.use_lap_layer:
+                lap_delta = self._disn_point_delta(
+                    self.lap_decoder_pos, pos, pyramid, cam_bx4x4
+                ) * 0.1
+                if self.scale_pos:
+                    scale = 0.2
+                    lap_delta = nn.sigmoid(lap_delta) * scale - scale / 2
+                if pos_mask_bxnx3 is not None:
+                    lap_delta = lap_delta * pos_mask_bxnx3
+                return delta + lap_delta, pos + lap_delta, ori_delta
+            return delta, pos, ori_delta
         if adj is None:
             adj = self.adj
         if lattice_res > 0:
@@ -207,8 +279,14 @@ class DeformableTetNetwork(nn.Module):
         centers_bxkx3: jnp.ndarray,
         pyramid: Sequence[jnp.ndarray],
         train: bool = True,
+        cam_bx4x4: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Bernoulli logits (B, K) for pre-gathered tet centers."""
+        if self.use_disn:
+            logits = self._disn_point_delta(
+                self.decoder_occ, centers_bxkx3, pyramid, cam_bx4x4
+            )
+            return logits[..., 0]
         feat = sample_grid_features(centers_bxkx3, pyramid)
         feat = jnp.concatenate([feat, centers_bxkx3], axis=-1)
         logits = self.decoder_occ(feat, train=train)
@@ -216,17 +294,24 @@ class DeformableTetNetwork(nn.Module):
 
     def __call__(
         self,
-        input_points_bxnx3,
+        inputs,
         p_bxnx3,
         centers_bxkx3,
         pos_mask_bxnx3=None,
         train: bool = True,
         adj: Optional[VertexAdjacency] = None,
+        cam_bx4x4=None,
     ):
-        """Initialization / smoke path exercising all submodules."""
-        pyr_pos, pyr_occ = self.encode(input_points_bxnx3, train=train)
+        """Initialization / smoke path exercising all submodules.
+
+        `inputs` = surface points (B, N, 3), or images (B, H, W, 3) with
+        `cam_bx4x4` when use_disn."""
+        pyr_pos, pyr_occ = self.encode(inputs, train=train)
         delta, pos, ori = self.decode_pos(
-            p_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj
+            p_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj,
+            cam_bx4x4=cam_bx4x4,
         )
-        logits = self.decode_occ(centers_bxkx3, pyr_occ, train=train)
+        logits = self.decode_occ(
+            centers_bxkx3, pyr_occ, train=train, cam_bx4x4=cam_bx4x4
+        )
         return delta, pos, ori, logits

@@ -161,9 +161,13 @@ def occupancy_from_grid_soa(
     y_bxp: jnp.ndarray,
     z_bxp: jnp.ndarray,
     threshold: float = 0.5,
-    interp: str = "trilinear",
+    interp: str = "nearest",
 ) -> jnp.ndarray:
     """SoA-coordinate variant of occupancy_from_grid.
+
+    Default aligned with TrainConfig.occ_grid_interp ("nearest"):
+    reference-parity replays that want the trilinear-equivalent GT
+    labels pass --occ_grid_interp trilinear.
 
     interp="nearest" reads the single nearest voxel instead of the
     8-corner trilinear stencil.  The output is thresholded to {0, 1}

@@ -270,8 +270,19 @@ class TetScene:
         keep = face_fx3[boundary]
         flip = occ_a[boundary]
         keep[flip] = keep[flip][:, ::-1]
-        # occupied hull faces: need hull owner occupancy; recompute owners
-        faces_out = keep
+        # occupied hull faces (missing neighbor counts as empty — the
+        # occ-0 prepended row of 3_model/deftet.py:526-532): shapes
+        # touching the grid wall export watertight, not with holes.
+        if hull.shape[0]:
+            from ..tetgrid import hull_face_owners
+
+            owners = hull_face_owners(self.tets_tx4, hull, self.n_points)
+            keep_hull = hull[occ_t[owners]]
+            # single owner occupied -> same flip rule as interior faces
+            keep_hull = keep_hull[:, ::-1]
+            faces_out = np.concatenate([keep, keep_hull], axis=0)
+        else:
+            faces_out = keep
         verts = np.asarray(self.world_points(params))
         with open(path, "w") as f:
             for v, c in zip(verts, rgb):

@@ -20,6 +20,7 @@ from .topology import (
     FACE_IDX,
     TET_EDGES,
     build_faces,
+    hull_face_owners,
     build_vertex_adjacency,
     build_tet_neighbors,
     build_face_edge_incidence,
@@ -37,6 +38,7 @@ __all__ = [
     "FACE_IDX",
     "TET_EDGES",
     "build_faces",
+    "hull_face_owners",
     "build_vertex_adjacency",
     "build_tet_neighbors",
     "build_face_edge_incidence",

@@ -77,6 +77,29 @@ def build_faces(tets: np.ndarray, n_point: int):
     return face_fx3, face_tet_fx2, face_slot_fx2, boundary_fx3
 
 
+def hull_face_owners(
+    tets: np.ndarray, hull_fx3: np.ndarray, n_point: int
+) -> np.ndarray:
+    """Owning tet index of each single-owner (hull) face.
+
+    Needed to include occupied hull faces in surface exports — the
+    reference's get_face_use_occ reaches the same faces by treating the
+    missing neighbor (tet index -1) as occupancy 0
+    (3_model/deftet.py:526-532)."""
+    tets = np.asarray(tets, dtype=np.int64)
+    tris = tets[:, FACE_IDX].reshape(-1, 3)
+    n = np.int64(n_point)
+
+    def encode(f):
+        k = np.sort(np.asarray(f, dtype=np.int64), axis=1)
+        return (k[:, 0] * n + k[:, 1]) * n + k[:, 2]
+
+    keys = encode(tris)
+    order = np.argsort(keys, kind="stable")
+    pos = np.searchsorted(keys[order], encode(hull_fx3))
+    return (order[pos] // 4).astype(np.int32)
+
+
 def build_vertex_adjacency(tets: np.ndarray, n_point: int):
     """Vertex adjacency as padded neighbor lists.
 

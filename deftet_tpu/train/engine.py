@@ -99,6 +99,11 @@ class Engine:
             gcn_hidden=config.parsed_gcn_hidden(),
             pos_mlp_hidden=config.parsed_pos_mlp_hidden(),
             occ_mlp_hidden=config.parsed_occ_mlp_hidden(),
+            use_disn=config.use_disn,
+            disn_image_size=config.disn_image_size,
+            disn_local_feature_size=config.disn_local_feature_size,
+            disn_encoding_dim=config.disn_encoding_dim,
+            disn_width=config.disn_width,
         )
         rng = jax.random.PRNGKey(config.seed)
         self.state, self.tx = create_train_state(
@@ -140,6 +145,7 @@ class Engine:
             self.model, config, lattice_offsets=self._lattice_offsets,
             tet_lattice=self._tet_lattice,
         )
+        self._infer_step = None  # built lazily (full-grid occ decode)
         self._rng = jax.random.PRNGKey(config.seed + 1)
         from ..utils import TimingRegistry
 
@@ -278,6 +284,38 @@ class Engine:
         self._log({"kind": "val", "step": self.global_step, **means})
         return means
 
+    def validate_inference(self, batches: Iterator[Dict[str, np.ndarray]]):
+        """Full-inference-path validation: the reference's selection metric
+        (train_multigpu.py:321-413) — occupancy probabilities pasted onto
+        SDF sample points, IoU swept over thresholds 0.1-0.5, plus the
+        surface metrics.  Returns means incl. ``val_iou_max``; ``None`` if
+        the val batches carry no SDF samples."""
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            if "sdf_points" not in batch:
+                return None
+            if self._infer_step is None:
+                from ..evals.harness import make_inference_step
+
+                self._infer_step = make_inference_step(
+                    self.model, self.config,
+                    lattice_offsets=self._lattice_offsets,
+                    tet_lattice=self._tet_lattice,
+                )
+            terms = self._infer_step(
+                self.state, self._prep_batch(batch), self._next_rng(),
+                self.statics,
+            )
+            for k, v in terms.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return None
+        means = {k: v / n for k, v in sums.items()}
+        self._log({"kind": "val_inference", "step": self.global_step, **means})
+        return means
+
     # ------------------------------------------------------------ checkpoint
     def save(self, best: bool = False) -> None:
         tree = {
@@ -332,7 +370,18 @@ class Engine:
             if self.epoch % self.config.val_every == 0:
                 val_means = self.validate(val_iter_fn())
                 record["val"] = val_means
-                val_iou = val_means.get("occ_iou", 0.0)
+                # Selection metric: threshold-swept SDF-point IoU through
+                # the full inference path (reference parity); the cheap
+                # occ_iou stays as the fallback when no SDF samples exist.
+                inf_means = (
+                    self.validate_inference(val_iter_fn())
+                    if self.config.val_inference else None
+                )
+                if inf_means is not None:
+                    record["val_inference"] = inf_means
+                    val_iou = inf_means["val_iou_max"]
+                else:
+                    val_iou = val_means.get("occ_iou", 0.0)
                 is_best = val_iou > self.best_iou
                 if is_best:
                     self.best_iou = val_iou

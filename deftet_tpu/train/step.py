@@ -68,7 +68,11 @@ def create_train_state(
     model, config: TrainConfig, statics: GridStatics, rng: jax.Array,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Init params on a tiny shape-compatible call + build the optimizer."""
-    dummy_inp = jnp.zeros((1, config.n_point, 3), jnp.float32)
+    if getattr(config, "use_disn", False):
+        s = config.disn_image_size
+        dummy_inp = jnp.zeros((1, s, s, 3), jnp.float32)
+    else:
+        dummy_inp = jnp.zeros((1, config.n_point, 3), jnp.float32)
     dummy_p = statics.init_pos_nx3[None]
     dummy_c = jnp.zeros((1, 8, 3), jnp.float32)
     # jit the init: flax init traces eagerly otherwise, dispatching every
@@ -98,27 +102,31 @@ def _center_subsample_idx(key: jax.Array, n_tets: int, k: int) -> jnp.ndarray:
 
 
 def _network_forward(
-    module, inp_bxnx3, init_pos_bxnx3, tet_tx4, center_idx_k, pos_mask_bxnx3,
-    adj, lattice_res: int, train: bool,
+    module, inp, init_pos_bxnx3, tet_tx4, center_idx_k, pos_mask_bxnx3,
+    adj, lattice_res: int, train: bool, cam_bx4x4=None,
 ):
     """Single-apply forward over all submodules (one BatchNorm mutation).
 
     Mirrors the encode → decode_pos → decode_occ sequence of
     parallel.py:128-220 with the tet-center computation of
     pc_model.py:276-281 inlined.  `adj` arrives as a jit argument so the
-    adjacency arrays are not compile-time constants.
+    adjacency arrays are not compile-time constants.  `inp` is surface
+    points, or images when the module is in DISN mode (then `cam_bx4x4`
+    carries the per-view camera matrices).
     """
-    pyr_pos, pyr_occ = module.encode(inp_bxnx3, train=train)
+    pyr_pos, pyr_occ = module.encode(inp, train=train)
     pred_delta, tet_pos, ori_delta = module.decode_pos(
         init_pos_bxnx3, pyr_pos, pos_mask_bxnx3, train=train, adj=adj,
-        lattice_res=lattice_res,
+        lattice_res=lattice_res, cam_bx4x4=cam_bx4x4,
     )
     # Subsampled tet centers only — the full (B, T, 4, 3) corner tensor is
     # never materialized (its tiny trailing dims pad ~40x on TPU); the
     # full-grid per-tet work happens outside in SoA form.
     sub_soa = gather_tet_soa(tet_pos, tet_tx4[center_idx_k])
     sub_centers = jnp.stack(tet_centers_soa(sub_soa), axis=-1)  # (B, K, 3)
-    logits = module.decode_occ(sub_centers, pyr_occ, train=train)  # (B, K)
+    logits = module.decode_occ(
+        sub_centers, pyr_occ, train=train, cam_bx4x4=cam_bx4x4
+    )  # (B, K)
     return pred_delta, tet_pos, logits
 
 
@@ -138,12 +146,18 @@ def forward_losses(
     surface = batch["surface_points"]
     b = surface.shape[0]
 
-    # --- encoder input: n_point surface points (+ noise) ------------------
-    inp = surface[:, : config.n_point]
-    if config.add_input_noise:
-        inp = inp + config.input_noise * jax.random.normal(
-            k_noise, inp.shape, inp.dtype
-        )
+    # --- encoder input: n_point surface points (+ noise), or images in
+    # DISN mode (parallel.py:118-130's use_point switch) -------------------
+    cam = None
+    if getattr(config, "use_disn", False):
+        inp = batch["imgs"]
+        cam = batch["cam_matrix"]
+    else:
+        inp = surface[:, : config.n_point]
+        if config.add_input_noise:
+            inp = inp + config.input_noise * jax.random.normal(
+                k_noise, inp.shape, inp.dtype
+            )
 
     init_pos = jnp.broadcast_to(
         statics.init_pos_nx3[None], (b,) + statics.init_pos_nx3.shape
@@ -176,6 +190,7 @@ def forward_losses(
         adj,
         config.res if lattice_offsets is not None else 0,
         train,
+        cam,
         method=_network_forward,
         rngs=rngs,
         mutable=["batch_stats"] if train else False,
@@ -312,24 +327,62 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
     donate_argnums=(0,) reuses the state buffers in place.
     """
 
-    def train_step(state: TrainState, batch, rng, statics: GridStatics):
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            total, (terms, mutated) = forward_losses(
-                model, variables, batch, statics, config, rng, train=True,
-                lattice_offsets=lattice_offsets, tet_lattice=tet_lattice,
-            )
-            return total, (terms, mutated)
+    accum = max(int(getattr(config, "grad_accum", 1)), 1)
 
-        (total, (terms, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+    def train_step(state: TrainState, batch, rng, statics: GridStatics):
+        def grads_for(params, bstats, mb, mb_rng):
+            def loss_fn(params):
+                variables = {"params": params}
+                if bstats:
+                    variables["batch_stats"] = bstats
+                total, (terms, mutated) = forward_losses(
+                    model, variables, mb, statics, config, mb_rng,
+                    train=True, lattice_offsets=lattice_offsets,
+                    tet_lattice=tet_lattice,
+                )
+                return total, (terms, mutated)
+
+            (total, (terms, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            terms["total"] = total
+            return grads, terms, mutated.get("batch_stats", bstats)
+
+        if accum == 1:
+            grads, terms, new_stats = grads_for(
+                state.params, state.batch_stats, batch, rng
+            )
+        else:
+            # microbatch scan: grads summed in a params-sized accumulator,
+            # BatchNorm stats threaded sequentially (the sequential-train
+            # semantics); XLA frees each microbatch's activations between
+            # scan iterations, so peak memory is the microbatch's.
+            micro = jax.tree.map(
+                lambda v: v.reshape(
+                    (accum, v.shape[0] // accum) + v.shape[1:]
+                ),
+                batch,
+            )
+
+            def body(carry, inp):
+                g_acc, bstats = carry
+                mb, i = inp
+                grads, terms, bstats = grads_for(
+                    state.params, bstats, mb, jax.random.fold_in(rng, i)
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, bstats), terms
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_stats), terms_stack = jax.lax.scan(
+                body, (zeros, state.batch_stats),
+                (micro, jnp.arange(accum)),
+            )
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            terms = jax.tree.map(lambda t: jnp.mean(t, axis=0), terms_stack)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        terms["total"] = total
-        new_stats = mutated.get("batch_stats", state.batch_stats)
         return (
             TrainState(params, new_stats, opt_state, state.step + 1),
             terms,

@@ -140,3 +140,40 @@ def test_render_cli_end_to_end(tmp_path):
     names = os.listdir(out)
     assert "surface.obj" in names
     assert any(n.endswith(".gif") for n in names)
+
+
+def test_save_surface_obj_includes_occupied_hull_faces(tmp_path):
+    """A fully occupied grid touches every box wall: the export must be
+    the closed grid hull (reference saveobj includes hull faces via the
+    occ-0 missing-neighbor rule, 3_model/deftet.py:503-557)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deftet_tpu.utils import load_obj
+
+    grid = build_tet_grid(2)
+    scene = TetScene.from_grid(grid, coef=2.0)
+    params = scene.init_params()
+    n_pts = scene.points_px3.shape[0]
+    params = {
+        "mov": params["mov"],
+        "feat": jnp.asarray(
+            np.concatenate(
+                [np.full((n_pts, 1), 5.0, np.float32),
+                 np.zeros((n_pts, 3), np.float32)], axis=1
+            )
+        ),
+    }
+    obj = tmp_path / "hull.obj"
+    n_faces = scene.save_surface_obj(params, str(obj), threshold=0.4)
+    assert n_faces > 0
+    _, faces = load_obj(str(obj))
+    # closed surface: every edge shared by exactly two faces
+    edges = np.sort(
+        np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        ),
+        axis=1,
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all(), "exported hull surface is not closed"

@@ -208,3 +208,74 @@ def test_2d_mesh_data_space_sharding(tiny_dataset, tmp_path):
     )
     for k, v in terms.items():
         assert np.isfinite(float(v)), k
+
+
+def test_grad_accum_step(tiny_dataset, tmp_path):
+    """grad_accum=2 microbatch scan: runs, finite terms, params update,
+    and the optimizer applies ONE update for the whole batch."""
+    cfg = TrainConfig(
+        logdir=str(tmp_path), experiment_id="ga", grad_accum=2, **TINY
+    )
+    eng = Engine(cfg)
+    batch = next(_batches(tiny_dataset, cfg))
+    before = jax.tree_util.tree_map(np.asarray, eng.state.params)
+    state, terms = eng._train_step(
+        eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+        eng.statics,
+    )
+    for k, v in terms.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(state.step) == 1
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before),
+            jax.tree_util.tree_leaves(state.params),
+        )
+    )
+    assert changed, "params did not update under grad accumulation"
+
+
+def test_validate_inference_threshold_sweep(engine, tiny_dataset):
+    """Reference-parity selection metric: probability-pasted SDF IoU swept
+    over thresholds 0.1-0.5 with val_iou_max = max over the sweep
+    (train_multigpu.py:103,385-413)."""
+    means = engine.validate_inference(_batches(tiny_dataset, engine.config))
+    assert means is not None
+    sweep_keys = [f"val_iou_{t:.1f}" for t in (0.1, 0.2, 0.3, 0.4, 0.5)]
+    for k in sweep_keys:
+        assert k in means and np.isfinite(means[k]), k
+    assert "val_iou_max" in means
+    assert means["val_iou_max"] >= max(means[k] for k in sweep_keys) - 1e-6
+    # fed from the same harness as deftet-eval: surface metrics present
+    assert "chamfer" in means and "boundary_overflow" in means
+
+
+def test_train_cli_writes_split_manifest(tmp_path):
+    """deftet-train persists split.json; deftet-eval consumes it."""
+    from deftet_tpu.cli import train_main
+
+    logdir, dataroot = str(tmp_path / "exp"), str(tmp_path / "data")
+    rc = train_main([
+        "--res", "4", "--batch_size", "2", "--n_point", "128",
+        "--num_sample_points", "256", "--occ_sample", "128",
+        "--per_face_samples", "4", "--encoder_blocks", "8,1,8;16,1,4",
+        "--gcn_hidden", "16,8", "--pos_mlp_hidden", "8",
+        "--occ_mlp_hidden", "16,8", "--epochs", "1", "--n_shapes", "4",
+        "--dataset_root", dataroot, "--logdir", logdir,
+    ])
+    assert rc == 0
+    import glob
+    import os
+
+    exp_dirs = glob.glob(os.path.join(logdir, "*"))
+    assert len(exp_dirs) == 1
+    with open(os.path.join(exp_dirs[0], "split.json")) as f:
+        manifest = json.load(f)
+    assert manifest["val"] and manifest["train"]
+    for p in manifest["val"] + manifest["train"]:
+        assert os.path.exists(p)
+    # metrics log carries the full-inference validation record
+    with open(os.path.join(exp_dirs[0], "metrics.jsonl")) as f:
+        kinds = {json.loads(ln)["kind"] for ln in f}
+    assert "val_inference" in kinds
