@@ -292,7 +292,8 @@ def render_main(argv=None) -> int:
     parser.add_argument("--lrfix", type=float, default=5e-2)
     parser.add_argument("--lrmov", type=float, default=5e-4)
     parser.add_argument("--pixelsampling", type=float, default=0.04)
-    parser.add_argument("--peel_k", type=int, default=10)
+    # kaolin deftet_sparse_render knum default (see RenderOptConfig.k)
+    parser.add_argument("--peel_k", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     for name, default in (
         ("weights_im_loss", 1.0), ("weights_mask_loss", 2.0),

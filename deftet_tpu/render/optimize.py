@@ -188,7 +188,14 @@ class RenderOptConfig:
     delete_threshold: float = 1e-3  # deletethres (expconfig.py:75-78)
     carve_dilation: int = 3        # neighbourlayer (3_model/deftet.py:35)
     subdiv_threshold: Optional[float] = None
-    k: int = 10
+    # Depth-peel layer budget.  kaolin's deftet_sparse_render defaults to
+    # knum=300 and the reference never overrides it — peeling must reach
+    # every face on the ray: faces beyond the budget get NO gradient, so
+    # junk behind layer k never clears and the peel exhausts at eval
+    # (round-1's k=10 artifact: speckle holes + silhouette haze).  At
+    # res-40 a ray crosses ~100-150 faces; raster cost is scan-dominated,
+    # so larger k is cheap (k 10->30 measured +11% step time).
+    k: int = 300
     raster_chunk: int = 1024
     seed: int = 0
 
