@@ -90,6 +90,13 @@ class TrainConfig:
 
     # -- surface losses ------------------------------------------------------
     per_face_samples: int = 20     # mesh_utils.py:290-299
+    # Cap on TOTAL chamfer samples (per batch element): the per-face count
+    # shrinks so budget_faces * per_face <= cap.  The chamfer estimator's
+    # expectation is per-face-count independent (uniform face x uniform
+    # barycentric); the reference's unconditional 20/face costs 800k NN
+    # queries vs 5k GT points at res-50.  0 = uncapped (exact reference
+    # behavior).
+    chamfer_samples_cap: int = 200_000
     # Static budget of boundary faces for the chamfer/analytic/normal
     # surface terms.  -1 = auto (16 r^2, capped at the face count): a
     # closed surface at grid res r has O(r^2) boundary faces, so the

@@ -182,8 +182,12 @@ def occupancy_from_grid_soa(
         return (c + OCC_GRID_EXTENT) / (2 * OCC_GRID_EXTENT) * g - 0.5
 
     cx, cy, cz = to_vox(x_bxp), to_vox(y_bxp), to_vox(z_bxp)
-    grid = occ_grid_bxgxgxg.astype(jnp.float32)
     if interp == "nearest":
+        # bf16 table + payload: the read is a random-access HBM gather
+        # whose cost tracks payload bytes; the texture holds {0,1} (or
+        # probabilities compared against `threshold`), both exact enough
+        # in bf16 (measured: bf16 payloads halve gather time).
+        grid = occ_grid_bxgxgxg.astype(jnp.bfloat16)
         b = grid.shape[0]
         flat = grid.reshape(b, g * g * g)
         ix, iy, iz = (
@@ -191,6 +195,7 @@ def occupancy_from_grid_soa(
             for c in (cx, cy, cz)
         )
         vals = jnp.take_along_axis(flat, ix * (g * g) + iy * g + iz, axis=1)
-    else:
-        vals = _trilinear_scalar_soa(grid, cx, cy, cz)
+        return (vals > jnp.bfloat16(threshold)).astype(jnp.float32)
+    grid = occ_grid_bxgxgxg.astype(jnp.float32)
+    vals = _trilinear_scalar_soa(grid, cx, cy, cz)
     return (vals > threshold).astype(jnp.float32)

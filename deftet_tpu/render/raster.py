@@ -127,6 +127,11 @@ def deftet_sparse_render(
     pix = pixel_coords_1xpx2[0].astype(jnp.float32)
     ranges = render_ranges_1xpx2[0].astype(jnp.float32)
     b = face_vertices_z_bxfx3.shape[0]
+    # Never tile wider than the (padded) pixel count: the hit scan does
+    # (P_tile, face_chunk) work per face chunk regardless of how many
+    # pixels are real, so an 8192 tile around a 400-pixel training batch
+    # is 95% padding waste (measured the whole round-1 render step).
+    pixel_chunk = min(pixel_chunk, -(-pix.shape[0] // 512) * 512)
 
     def select(z_fx3, img_fx3x2):
         return query_tiled(

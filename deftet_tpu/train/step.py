@@ -272,6 +272,7 @@ def forward_losses(
             with_chamfer=want(config.lambda_surf_chamfer),
             with_analytic=want(config.lambda_surf),
             with_normal=want(config.lambda_normal),
+            samples_cap=getattr(config, "chamfer_samples_cap", 0),
         )
     else:
         chamfer = analytic = normal = b_zero

@@ -625,3 +625,39 @@ def test_compact_indices_two_level_matches_searchsorted():
         np.searchsorted(rank, np.arange(1, k + 1), side="left"), f - 1
     )
     np.testing.assert_array_equal(np.asarray(idx)[0], want)
+
+
+def test_chamfer_samples_cap_estimator_consistent():
+    """samples_cap shrinks the per-face count but keeps the estimator's
+    expectation: on a scene with many boundary faces, the capped chamfer
+    agrees with the uncapped one to MC noise."""
+    grid = build_tet_grid(6)
+    topo = build_topology(grid.tets, grid.n_vertices)
+    verts = jnp.asarray(grid.centered_vertices().astype(np.float32))[None]
+    rng = np.random.default_rng(3)
+    # occupy a ball of tets -> a few hundred boundary faces
+    centers = np.asarray(grid.centered_vertices())[grid.tets].mean(1)
+    occ = (np.linalg.norm(centers, axis=1) < 0.3).astype(np.float32)[None]
+    from deftet_tpu.losses import boundary_info_from_occupancy
+
+    mask, sign = boundary_info_from_occupancy(
+        jnp.asarray(occ), jnp.asarray(topo.face_tet_fx2)
+    )
+    n_b = int(np.asarray(mask).sum())
+    assert n_b > 100
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (1, 256, 3)).astype(np.float32))
+    kwargs = dict(
+        per_face_samples=16, nn_chunk=256, tri_chunk=128,
+        max_boundary_faces=n_b + 8, with_analytic=False, with_normal=False,
+    )
+    full = surface_align_losses(
+        jax.random.PRNGKey(0), verts, jnp.asarray(topo.face_fx3), mask,
+        sign, gt, _edge_topo(topo), **kwargs,
+    )[0]
+    capped = surface_align_losses(
+        jax.random.PRNGKey(1), verts, jnp.asarray(topo.face_fx3), mask,
+        sign, gt, _edge_topo(topo), samples_cap=2 * (n_b + 8), **kwargs,
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(capped), rtol=0.1
+    )
