@@ -109,3 +109,49 @@ def test_disn_inference_path(disn_engine, image_dataset):
     assert means is not None
     assert np.isfinite(means["val_iou_max"])
     assert np.isfinite(means["chamfer"])
+
+
+def test_vgg16_weight_port_roundtrip(tmp_path):
+    """Offline torchvision VGG-16 -> DISNEncoder weight port: a synthetic
+    state_dict with torchvision's exact keys/shapes maps onto the flax
+    tree, and injection changes the encoder output."""
+    import torch
+
+    from deftet_tpu.nn.disn import DISNEncoder
+    from deftet_tpu.nn.disn_port import load_vgg16_params, inject_vgg16
+
+    # torchvision VGG-16 (config D) state_dict shapes
+    conv_ids = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    widths = (64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
+    state = {}
+    c_in = 3
+    g = torch.Generator().manual_seed(0)
+    for tid, c_out in zip(conv_ids, widths):
+        state[f"features.{tid}.weight"] = torch.randn(
+            (c_out, c_in, 3, 3), generator=g
+        ) * 0.01
+        state[f"features.{tid}.bias"] = torch.zeros(c_out)
+        c_in = c_out
+    fc_dims = ((4096, 512 * 7 * 7), (4096, 4096), (1000, 4096))
+    for tid, (o, i) in zip((0, 3, 6), fc_dims):
+        state[f"classifier.{tid}.weight"] = torch.randn(
+            (o, i), generator=g
+        ) * 0.01
+        state[f"classifier.{tid}.bias"] = torch.zeros(o)
+    path = tmp_path / "vgg16.pth"
+    torch.save(state, path)
+
+    ported = load_vgg16_params(str(path))
+    assert ported["Conv_0"]["kernel"].shape == (3, 3, 3, 64)
+    assert ported["Dense_2"]["kernel"].shape == (4096, 1000)
+
+    enc = DISNEncoder(image_size=32, local_feature_size=8, width=1.0,
+                      image_encoding_dim=1000)
+    img = jax.numpy.zeros((1, 32, 32, 3)) + 0.5
+    variables = enc.init(jax.random.PRNGKey(0), img)
+    before, _ = enc.apply(variables, img)
+    wrapped = {"params": {"enc": variables["params"]}}
+    injected = inject_vgg16(wrapped, ported, encoder="enc")
+    after, _ = enc.apply({"params": injected["params"]["enc"]}, img)
+    assert before.shape == after.shape == (1, 1000)
+    assert not np.allclose(np.asarray(before), np.asarray(after))
