@@ -251,16 +251,19 @@ def normal_smoothness_loss_compacted(
     # boundary mask: if the boundary overflows the compaction budget,
     # faces without computed normals must not enter s_w (they would add a
     # spurious s_w^2 with no matching normal term and over-count pairs).
-    w = jnp.zeros((b, f), vals.dtype).at[b_idx, sel_idx_bxk].add(
-        jax.lax.stop_gradient(sel_mask_bxk)
+    # Scatter directly in bf16: sel_idx is unique (one write per slot, no
+    # accumulation), and the scatter is write-bandwidth-bound — the f32
+    # scatter-then-cast paid double the bytes.
+    w = jnp.zeros((b, f), jnp.bfloat16).at[b_idx, sel_idx_bxk].add(
+        jax.lax.stop_gradient(sel_mask_bxk).astype(jnp.bfloat16)
     )
     rows = [w]
     for comp in range(3):
         rows.append(
-            jnp.zeros((b, f), vals.dtype)
-            .at[b_idx, sel_idx_bxk].add(vals[..., comp])
+            jnp.zeros((b, f), jnp.bfloat16)
+            .at[b_idx, sel_idx_bxk].add(vals[..., comp].astype(jnp.bfloat16))
         )
-    fields = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)  # (4B, F)
+    fields = jnp.concatenate(rows, axis=0)  # (4B, F) bf16
     sums = edge_face_sum(
         fields, edge_face_idx, edge_face_mask, face_edge_ids
     ).astype(jnp.float32).reshape(4, b, -1)
