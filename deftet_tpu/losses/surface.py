@@ -211,6 +211,7 @@ def normal_smoothness_loss_compacted(
     boundary_sign_bxf: jnp.ndarray,
     edge_topo,
     eps: float = 1e-12,
+    face_lattice=None,
 ) -> jnp.ndarray:
     """normal_smoothness_loss computed from the compacted boundary subset.
 
@@ -228,11 +229,16 @@ def normal_smoothness_loss_compacted(
 
     The mask is binary, so s_w2 == s_w and only 4 fields are reduced
     (w, ws*nx, ws*ny, ws*nz).
+
+    With ``face_lattice`` set (class-major face layout on the regular
+    grid, tetgrid.lattice_faces), the per-edge reduction runs as shifted
+    slices (ops.lattice.lattice_edge_quadratics) instead of the
+    edge_face_sum gathers — identical math, contiguous HBM traffic.
     """
     from ..ops.geometry import edge_face_sum
 
     (edge_face_idx, edge_face_mask, face_edge_ids, _, _) = edge_topo
-    if edge_face_idx.shape[0] == 0:
+    if face_lattice is None and edge_face_idx.shape[0] == 0:
         return jnp.zeros(work_pos_bxkx3x3.shape[0])
     b, f = boundary_mask_bxf.shape
 
@@ -263,6 +269,13 @@ def normal_smoothness_loss_compacted(
             jnp.zeros((b, f), jnp.bfloat16)
             .at[b_idx, sel_idx_bxk].add(vals[..., comp].astype(jnp.bfloat16))
         )
+    if face_lattice is not None:
+        from ..ops.lattice import lattice_edge_quadratics
+
+        total, count = lattice_edge_quadratics(
+            rows[0], rows[1], rows[2], rows[3], face_lattice
+        )
+        return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
     fields = jnp.concatenate(rows, axis=0)  # (4B, F) bf16
     sums = edge_face_sum(
         fields, edge_face_idx, edge_face_mask, face_edge_ids
@@ -422,6 +435,7 @@ def surface_align_losses(
     with_analytic: bool = True,
     with_normal: bool = True,
     samples_cap: int = 0,
+    face_lattice=None,
 ):
     """The three surface terms of deftet.forward (deftet.py:138-184).
     `with_*` flags drop a term from the traced program entirely (its
@@ -465,7 +479,7 @@ def surface_align_losses(
     elif compacted:
         normal = normal_smoothness_loss_compacted(
             work_pos, work_idx, work_mask, boundary_mask_bxf,
-            boundary_sign_bxf, edge_topo,
+            boundary_sign_bxf, edge_topo, face_lattice=face_lattice,
         )
     else:
         normal = normal_smoothness_loss(

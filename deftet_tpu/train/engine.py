@@ -66,15 +66,19 @@ class Engine:
             self.statics = statics
             self._lattice_offsets = None
             self._tet_lattice = None
+            self._face_lattice = None
         else:
             from ..tetgrid import build_tet_grid
+            from ..tetgrid.lattice_faces import face_lattice_info
 
             grid = build_tet_grid(config.res)
             self.statics = build_grid_statics(config.res, grid=grid)
             # Regular grid -> stencil fast paths (GCN/Laplacian neighbor
-            # mean; slice-based tet-corner reads).
+            # mean; slice-based tet-corner reads; class-major boundary /
+            # edge-reduction shifts).
             self._lattice_offsets = lattice_offsets(grid)
             self._tet_lattice = lattice_tet_offsets(grid)
+            self._face_lattice = face_lattice_info(grid)
         self.mesh = mesh if mesh is not None else make_mesh(
             batch_size=config.batch_size
         )
@@ -140,10 +144,12 @@ class Engine:
             self.model, self.tx, config,
             lattice_offsets=self._lattice_offsets,
             tet_lattice=self._tet_lattice,
+            face_lattice=self._face_lattice,
         )
         self._eval_step = make_eval_step(
             self.model, config, lattice_offsets=self._lattice_offsets,
             tet_lattice=self._tet_lattice,
+            face_lattice=self._face_lattice,
         )
         self._infer_step = None  # built lazily (full-grid occ decode)
         self._rng = jax.random.PRNGKey(config.seed + 1)

@@ -135,6 +135,16 @@ def build_grid_statics(
     if grid is None:
         grid = build_tet_grid(resolution)
     if topology is None:
+        # Regular Kuhn grid -> class-major padded face layout, enabling
+        # the shifted-slice boundary/edge fast paths (tetgrid.
+        # lattice_faces); the gather paths stay correct on it too.
+        try:
+            from ..tetgrid.lattice_faces import build_lattice_topology
+
+            topology = build_lattice_topology(grid)
+        except Exception:
+            topology = None
+    if topology is None:
         try:
             from ..native import build_topology_native, native_available
 

@@ -140,8 +140,14 @@ def forward_losses(
     train: bool = True,
     lattice_offsets=None,
     tet_lattice=None,
+    face_lattice=None,
 ):
-    """Full forward. Returns ((total, aux-terms), mutated-variables)."""
+    """Full forward. Returns ((total, aux-terms), mutated-variables).
+
+    ``face_lattice`` (tetgrid.lattice_faces.FaceLattice) activates the
+    shifted-slice boundary/edge fast paths; it requires statics built
+    from the class-major lattice topology (build_grid_statics does this
+    automatically for regular grids)."""
     k_noise, k_drop, k_centers, k_surf = jax.random.split(rng, 4)
     surface = batch["surface_points"]
     b = surface.shape[0]
@@ -255,9 +261,20 @@ def forward_losses(
     if want(config.lambda_surf) or want(config.lambda_surf_chamfer) or want(
         config.lambda_normal
     ):
-        boundary_mask, boundary_sign = boundary_info_from_occupancy(
-            center_occ, statics.face_tet_fx2
-        )
+        if (
+            face_lattice is not None
+            and statics.face_fx3.shape[0] == 12 * face_lattice.res**3
+        ):
+            from ..ops.lattice import lattice_boundary_info
+
+            boundary_mask, boundary_sign = lattice_boundary_info(
+                center_occ, face_lattice
+            )
+        else:
+            face_lattice = None  # statics not class-major: gather paths
+            boundary_mask, boundary_sign = boundary_info_from_occupancy(
+                center_occ, statics.face_tet_fx2
+            )
         gt_surface = surface[:, : config.num_sample_points]
         edge_topo = (
             statics.edge_face_idx, statics.edge_face_mask,
@@ -273,6 +290,7 @@ def forward_losses(
             with_analytic=want(config.lambda_surf),
             with_normal=want(config.lambda_normal),
             samples_cap=getattr(config, "chamfer_samples_cap", 0),
+            face_lattice=face_lattice,
         )
     else:
         chamfer = analytic = normal = b_zero
@@ -319,7 +337,7 @@ def forward_losses(
 
 
 def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
-                    tet_lattice=None):
+                    tet_lattice=None, face_lattice=None):
     """Build the jitted SPMD train step.
 
     `statics` is a runtime argument, NOT a closure capture: closed-over
@@ -339,7 +357,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
                 total, (terms, mutated) = forward_losses(
                     model, variables, mb, statics, config, mb_rng,
                     train=True, lattice_offsets=lattice_offsets,
-                    tet_lattice=tet_lattice,
+                    tet_lattice=tet_lattice, face_lattice=face_lattice,
                 )
                 return total, (terms, mutated)
 
@@ -393,7 +411,7 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
 
 
 def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
-                   tet_lattice=None):
+                   tet_lattice=None, face_lattice=None):
     """Jitted validation step: loss terms + occupancy IoU, no grad."""
 
     def eval_step(state: TrainState, batch, rng, statics: GridStatics):
@@ -403,6 +421,7 @@ def make_eval_step(model, config: TrainConfig, lattice_offsets=None,
         total, (terms, _) = forward_losses(
             model, variables, batch, statics, config, rng, train=False,
             lattice_offsets=lattice_offsets, tet_lattice=tet_lattice,
+            face_lattice=face_lattice,
         )
         terms["total"] = total
         return terms
