@@ -129,10 +129,21 @@ def eval_main(argv=None) -> int:
                         choices=["best", "last"])
     parser.add_argument("--save_vis", action="store_true",
                         help="dump predicted-surface OBJs for one batch")
+    parser.add_argument("--res", type=int, default=0,
+                        help="override the tet-grid resolution for "
+                        "inference (0 = as trained).  The encoders/"
+                        "decoders are grid-agnostic (per-vertex feature "
+                        "sampling), so a res-50 checkpoint can extract "
+                        "surfaces on a res-70 grid — finer cells, better "
+                        "small-radius F-score")
     args = parser.parse_args(argv)
 
     experiment = Experiment.load(args.experiment_path)
     config = experiment.config
+    if args.res:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, res=args.res)
     engine = Engine(config, experiment=experiment)
     engine.restore(args.checkpoint)
 
@@ -198,11 +209,17 @@ def eval_main(argv=None) -> int:
     }
     report = {
         "checkpoint": args.checkpoint,
+        "res": config.res,
         "val_losses": means,
         "metrics": metrics,
         "per_category": per_category,
     }
-    with open(experiment.file_path("result_update.json"), "w") as f:
+    # A res override writes a suffixed report so the as-trained
+    # result_update.json is never clobbered by diagnostic re-evals.
+    suffix = f"_res{config.res}" if args.res else ""
+    with open(
+        experiment.file_path(f"result_update{suffix}.json"), "w"
+    ) as f:
         json.dump(report, f, indent=2)
     # per-category ampersand-separated tables like eval.py:311-349's
     # result_update.txt (metric x100, trailing row mean)

@@ -80,3 +80,16 @@ def test_train_eval_on_ingested_meshes(mesh_shards, tmp_path):
     assert np.isfinite(report["metrics"]["occ_iou"])
     # category attribution from the mesh parent dir
     assert "meshes" in report["per_category"]
+
+    # --res override: the encoders/decoders are grid-agnostic, so the
+    # res-4 checkpoint must restore and evaluate on a res-5 grid
+    # (finer-cell surface extraction; VERDICT weak #3 diagnostics).
+    rc = eval_main(["--experiment_path", exp, "--res", "5"])
+    assert rc == 0
+    # the override writes a suffixed report; as-trained one is untouched
+    with open(os.path.join(exp, "result_update_res5.json")) as f:
+        report5 = json.load(f)
+    assert report5["res"] == 5
+    assert np.isfinite(report5["metrics"]["occ_iou"])
+    with open(os.path.join(exp, "result_update.json")) as f:
+        assert json.load(f)["res"] == 4
