@@ -63,7 +63,6 @@ def main():
         n_point=5000,
         num_sample_points=5000,
         occ_sample=10000 if not small else 512,
-        max_boundary_faces=min(16 * res * res, 6 * res**3 * 2),
         per_face_samples=20 if not small else 4,
         logdir="/tmp/deftet_bench",
         experiment_id="bench",

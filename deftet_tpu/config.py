@@ -98,11 +98,16 @@ class TrainConfig:
     # behavior).
     chamfer_samples_cap: int = 200_000
     # Static budget of boundary faces for the chamfer/analytic/normal
-    # surface terms.  -1 = auto (16 r^2, capped at the face count): a
-    # closed surface at grid res r has O(r^2) boundary faces, so the
-    # auto budget is lossless in practice while keeping the surface-loss
-    # working set ~r times smaller than the full face set.  0 = all
-    # interior faces (no compaction).
+    # surface terms.  -1 = auto (8 r^2, capped at the face count): a
+    # closed surface at grid res r has O(r^2) boundary faces — measured
+    # steady-state boundary counts are ~5.6 r^2 (res-50 train: 14.0k;
+    # res-70 extraction: 28.8k), so 8 r^2 is lossless at convergence
+    # while keeping the surface-loss working set ~r times smaller than
+    # the full face set; every descriptor-bound site (compaction
+    # scatters, the work-pos gather VJP, NN/tri kernel tiles) scales
+    # with this budget.  Overflow (early-training noisy occupancy)
+    # truncates uniformly and is visible in the `boundary_overflow`
+    # metric.  0 = all interior faces (no compaction).
     max_boundary_faces: int = -1
 
     def resolved_max_boundary_faces(self) -> int:
@@ -110,7 +115,7 @@ class TrainConfig:
             # cap at an interior-face-count upper bound (2 faces per tet,
             # 6 tets per cell) so the docstring's "capped at the face
             # count" holds even at res 1
-            return min(16 * self.res * self.res, 12 * self.res**3)
+            return min(8 * self.res * self.res, 12 * self.res**3)
         return self.max_boundary_faces
     timing: bool = False
 

@@ -316,59 +316,100 @@ def normal_smoothness_loss_pairs(
 
 
 def _compact_indices(boundary_mask_bxf: jnp.ndarray, k: int):
-    """First-k stream compaction as a searchsorted, all gathers.
+    """First-k stream compaction as packed-bit rank/select.
 
-    rank[i] = cumsum(mask)[i] is non-decreasing, so the index of the
-    j-th boundary face (0-based) is searchsorted(rank, j+1, 'left').
-    A scatter formulation of this compaction serializes: the ~F-k
-    discarded faces all collide on one slot (measured 0.03 GiB/s,
-    ~92 ms/step at res-50).  searchsorted is O(k log F) gathers.
+    The index of the j-th boundary face is "select(j)" on the mask
+    bitvector.  Formulations tried at res-50/bs-4 (F = 1.5M, k = 40k):
+    a scatter compaction serializes on the discard slot (0.03 GiB/s,
+    ~92 ms/step); a full-F cumsum + two-level searchsorted costs the
+    cumsum's log-passes over the (B, F) int32 rank array plus ~10
+    binary-search gather rounds (~41 ms/step).  Here the mask is packed
+    to uint32 words (one pass), ranks exist only at 512-bit block
+    granularity (B, F/512 — VMEM-resident for the coarse searchsorted),
+    and each target gathers ONE contiguous 16-word block (64B
+    descriptors instead of log-F scalar probes) and selects its bit with
+    in-register popcount arithmetic — no full-F cumsum, no random scalar
+    gathers (~4 ms/step).
 
     Returns (idx (B, k) int32 — clamped garbage past the boundary
-    count — and valid (B, k) float mask).
+    count — and valid (B, k) mask in the input dtype).
     """
-    rank = jnp.cumsum(boundary_mask_bxf.astype(jnp.int32), axis=1)
-    targets = jnp.arange(1, k + 1, dtype=rank.dtype)
-    f_total = rank.shape[1]
-    block = 512
-    if f_total > 4 * block:
-        # Two-level search: a coarse searchsorted over the per-block
-        # cumsum tails (tiny, VMEM-resident) positions each target's
-        # block, then log2(block) binary-search rounds over the full
-        # rank array.  Cuts the big-array gather rounds from
-        # log2(F) (~21) to log2(block) (~9).
-        n_blocks = f_total // block
-        tails = rank[:, block - 1::block][:, :n_blocks]  # (B, n_blocks)
-        bi = jax.vmap(
-            lambda t: jnp.searchsorted(t, targets, side="left")
-        )(tails)  # (B, k) block index, may be n_blocks (tail remainder)
-        lo = (bi * block).astype(jnp.int32)              # first candidate
-        hi = jnp.minimum(lo + block, f_total).astype(jnp.int32)
-
-        def body(_, carry):
-            lo, hi = carry
-            mid = (lo + hi) // 2
-            vals = jnp.take_along_axis(rank, mid, axis=1)
-            go_right = vals < targets[None]
-            return jnp.where(go_right, mid + 1, lo), jnp.where(
-                go_right, hi, mid
-            )
-
-        import math
-
-        iters = int(math.ceil(math.log2(block))) + 1
-        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-        idx = lo.astype(jnp.int32)
-    else:
+    b, f_total = boundary_mask_bxf.shape
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    if f_total < 2048:
+        rank = jnp.cumsum(boundary_mask_bxf.astype(jnp.int32), axis=1)
         idx = jax.vmap(
             lambda r: jnp.searchsorted(r, targets, side="left")
         )(rank).astype(jnp.int32)
-    n = rank[:, -1]
+        n = rank[:, -1]
+        valid = (
+            jnp.arange(k, dtype=n.dtype)[None] < n[:, None]
+        ).astype(boundary_mask_bxf.dtype)
+        return jnp.minimum(idx, f_total - 1), valid
+
+    wb = 16                                   # words/block (512 bits)
+    nb = -(-f_total // (32 * wb))             # number of blocks
+    pad_bits = nb * wb * 32 - f_total
+    mbits = jnp.pad(boundary_mask_bxf > 0, ((0, 0), (0, pad_bits)))
+    # pack: (B, W, 32) bit planes -> uint32 words (single fused pass)
+    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(
+        jnp.where(mbits.reshape(b, nb * wb, 32), pow2[None, None], 0),
+        axis=-1, dtype=jnp.uint32,
+    )                                          # (B, W)
+    wpc = jax.lax.population_count(words).astype(jnp.int32)
+    blk_cum = jnp.cumsum(
+        jnp.sum(wpc.reshape(b, nb, wb), axis=-1), axis=1
+    )                                          # (B, nb) inclusive counts
+
+    bi = jax.vmap(
+        lambda t: jnp.searchsorted(t, targets, side="left")
+    )(blk_cum)                                 # (B, k); nb past the end
+    bi_c = jnp.minimum(bi, nb - 1).astype(jnp.int32)
+    base = jnp.where(
+        bi_c > 0,
+        jnp.take_along_axis(blk_cum, jnp.maximum(bi_c - 1, 0), axis=1),
+        0,
+    )
+    lt = targets[None] - base                  # 1-based rank in block
+
+    # One contiguous wb-word block per target as a ROW gather: words
+    # viewed as (B, nb, wb) and whole minor rows gathered by block id.
+    # This is the one gather form XLA lowers to the TPU fast path; both
+    # a vmapped dynamic_slice and a lax.gather with slice_sizes=(wb,)
+    # over the flat word array lower to a serial per-element loop
+    # (measured 300 / 95 ms/step respectively at res-50).
+    blk16 = jax.vmap(lambda w, ix: jnp.take(w, ix, axis=0))(
+        words.reshape(b, nb, wb), bi_c
+    )                                          # (B, k, 16) contiguous
+    cpc = jnp.cumsum(
+        jax.lax.population_count(blk16).astype(jnp.int32), axis=-1
+    )                                          # (B, k, 16) inclusive
+    wi = jnp.sum((cpc < lt[..., None]).astype(jnp.int32), axis=-1)
+    wi_c = jnp.minimum(wi, wb - 1)
+    before = jnp.where(
+        wi_c > 0,
+        jnp.take_along_axis(
+            cpc, jnp.maximum(wi_c - 1, 0)[..., None], axis=-1
+        )[..., 0],
+        0,
+    )
+    ltw = lt - before                          # 1-based rank in word
+    word = jnp.take_along_axis(blk16, wi_c[..., None], axis=-1)[..., 0]
+    # select the ltw-th set bit: p = #positions whose inclusive prefix
+    # popcount is still < ltw (all in-register VPU arithmetic)
+    bits = (
+        (word[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    ).astype(jnp.int32)                        # (B, k, 32)
+    bcum = jnp.cumsum(bits, axis=-1)
+    p = jnp.sum((bcum < ltw[..., None]).astype(jnp.int32), axis=-1)
+
+    idx = (bi_c * (wb * 32) + wi_c * 32 + p).astype(jnp.int32)
+    n = blk_cum[:, -1]
     valid = (
         jnp.arange(k, dtype=n.dtype)[None] < n[:, None]
     ).astype(boundary_mask_bxf.dtype)
-    idx = jnp.minimum(idx, boundary_mask_bxf.shape[1] - 1)
-    return idx, valid
+    return jnp.minimum(idx, f_total - 1), valid
 
 
 def select_boundary_subset_static(

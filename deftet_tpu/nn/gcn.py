@@ -92,13 +92,13 @@ class LatticeAdjacency:
             from ..ops.stencil_pallas import lattice_neighbor_mean
 
             inv_deg = 1.0 / jnp.maximum(self.degree, 1).astype(jnp.float32)
-            # Match the conv fallback's activation dtype (accumulation is
-            # f32 inside the kernel; the f32 inv_deg multiply would
-            # otherwise promote the output).
+            # Kernel output is already x's dtype with the inv_deg scale
+            # applied in-kernel (f32 accumulation) — same activation
+            # dtype as the conv fallback.
             return lattice_neighbor_mean(
                 x_bxnxd, inv_deg, n,
                 tuple(tuple(o) for o in self.offsets),
-            ).astype(x_bxnxd.dtype)
+            )
         xg = x_bxnxd.reshape(b, n, n, n, c)
         # one depthwise 3x3x3 conv (binary stencil kernel) instead of 14
         # pad+shift ops — the step is op-count-bound at production sizes

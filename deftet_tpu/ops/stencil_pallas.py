@@ -5,24 +5,32 @@ stencil whose 14 offsets all lie within {-1, 0, 1}^3
 (nn.gcn.LatticeAdjacency).  The XLA depthwise-conv formulation measured
 ~40x off the VPU roofline (57 ms/step at res-50); this kernel computes
 
-    out[b, i, j, k, c] = sum_off x[b, i+di, j+dj, k+dk, c]
+    out[b, i, j, k, c] = scale[i, j, k] * sum_off x[b, i+di, j+dj, k+dk, c]
 
 with x zero-padded by one cell on every spatial axis, so there are no
 validity masks anywhere: every out-of-lattice neighbor read lands on an
 explicit zero.
 
 Layout: (B, I, J, K, C) with K in sublanes and C in the 128 lanes; the
-grid walks (batch, i-row, channel-block) and each step ships the i-1 / i
-/ i+1 row planes (consecutive steps reuse two of the three, so HBM
+grid walks (batch, out-row, channel-block) and each step ships the i-1 /
+i / i+1 row planes (consecutive steps reuse two of the three, so HBM
 traffic is ~3x the array, all sequential).  j-shifts are static row
 slices, k-shifts are rolls (safe: the wrapped-in values are the zero
-padding).  Storage follows the input dtype (bf16 under the model's bf16
-compute dtype — halving VMEM + traffic); accumulation is f32.
+padding).  Storage follows the input dtype on BOTH sides (bf16 under the
+model's bf16 compute dtype — halving VMEM + traffic); accumulation is
+f32.
+
+The per-vertex output scale (the row-normalizing 1/degree) is applied
+INSIDE the kernel: an f32 output + external multiply/cast measured an
+extra full f32 pass over the padded grid (~10 ms/step at res-50 across
+the GCN's 12 stencil applications).  The scale plane is (1, JP, KP, 1) —
+KP in sublanes matching the accumulator, lane-broadcast over channels.
 
 The offset set is symmetric (off in S <=> -off in S), making the
 un-normalized stencil self-transpose: for the row-normalized neighbor
-mean out = invdeg * S(x) the VJP is gx = S(invdeg * g) — the same kernel
-applied to the scaled cotangent.
+mean out = invdeg * S(x) the VJP is gx = S(invdeg * g) — the same
+kernel with unit output scale on the pre-scaled cotangent (the invdeg
+multiply fuses with the kernel's input pad in XLA).
 """
 
 from __future__ import annotations
@@ -35,11 +43,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stencil3d_kernel(xm_ref, x0_ref, xp_ref, o_ref, *, offsets):
-    """One (batch, i-row, channel-block) tile.
+def _stencil3d_kernel(xm_ref, x0_ref, xp_ref, s_ref, o_ref, *, offsets):
+    """One (batch, out-row, channel-block) tile.
 
-    xm/x0/xp: (1, 1, JP, KP, CB) VMEM — row planes i-1, i, i+1;
-    o: (1, 1, JP, KP, CB) VMEM output.
+    xm/x0/xp: (1, 1, JP, KP, CB) VMEM — padded-row planes i-1, i, i+1
+    around the output row; s: (1, JP, KP, 1) output scale plane;
+    o: (1, 1, JP, KP, CB) VMEM output (storage dtype).
     """
     planes = {-1: xm_ref, 0: x0_ref, 1: xp_ref}
     jp = x0_ref.shape[2]
@@ -58,7 +67,7 @@ def _stencil3d_kernel(xm_ref, x0_ref, xp_ref, o_ref, *, offsets):
             # wrapped-in values are the zero padding (KP > n+1)
             seg = jnp.roll(seg, -dk, axis=1)
         acc = acc + seg.astype(jnp.float32)
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    o_ref[0, 0] = (acc * s_ref[0]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -69,15 +78,14 @@ def stencil_fits_vmem(n: int, c_block: int = 128,
                       itemsize: int = 2) -> bool:
     """Whether one (j, k) plane block fits the ~16MB VMEM budget.
 
-    Per grid step: 3 input planes (double-buffered, `itemsize` bytes) +
-    1 f32 output plane (double-buffered) + ~2 plane-sized f32
-    temporaries.  Beyond this (n >~ 60 for bf16) callers fall back to
-    the XLA depthwise conv.
+    Per grid step: 3 input planes + 1 output plane (double-buffered,
+    `itemsize` bytes) + ~2 plane-sized f32 temporaries.  Beyond this
+    (n >~ 64 for bf16) callers fall back to the XLA depthwise conv.
     """
     jp = _round_up(n + 2, 8)
     kp = _round_up(n + 2, 8)
     plane = jp * kp * c_block
-    budget = 3 * plane * 2 * itemsize + plane * 4 * 2 + 2 * plane * 4
+    budget = 4 * plane * 2 * itemsize + 2 * plane * 4
     return budget < 14 * 1024 * 1024
 
 
@@ -88,11 +96,13 @@ def stencil_sum(
     x_bxvxc: jnp.ndarray,
     n: int,
     offsets,
+    scale_v: jnp.ndarray | None = None,
     c_block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """sum_off shift_off(x) over the n^3 vertex lattice (module
-    docstring).  x is (B, n^3, C); returns the same shape in f32."""
+    """scale * sum_off shift_off(x) over the n^3 vertex lattice (module
+    docstring).  x is (B, n^3, C); scale_v is (n^3,) or None (unit
+    scale).  Returns (B, n^3, C) in x's dtype; accumulation is f32."""
     b, v, c = x_bxvxc.shape
     assert v == n * n * n, (v, n)
     for off in offsets:
@@ -110,12 +120,19 @@ def stencil_sum(
         ((0, 0), (1, 1), (1, jp - n - 1), (1, kp - n - 1), (0, cp - c)),
     )  # (B, IP, JP, KP, CP), zeros outside the lattice
 
+    if scale_v is None:
+        sg = jnp.ones((n, jp, kp, 1), jnp.float32)
+    else:
+        sg = scale_v.astype(jnp.float32).reshape(n, n, n, 1)
+        sg = jnp.pad(sg, ((0, 0), (1, jp - n - 1), (1, kp - n - 1), (0, 0)))
+
     nc = cp // c_block
-    grid = (b, ip, nc)
+    grid = (b, n, nc)
 
     def imap(di):
-        def f(bi, ii, ci):
-            return (bi, jnp.clip(ii + di, 0, ip - 1), 0, 0, ci)
+        # output row r reads padded rows r + 1 + di (pads at 0 / ip-1)
+        def f(bi, ri, ci):
+            return (bi, ri + 1 + di, 0, 0, ci)
         return f
 
     blk = (1, 1, jp, kp, c_block)
@@ -126,17 +143,21 @@ def stencil_sum(
             pl.BlockSpec(blk, imap(-1), memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, imap(0), memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, imap(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, jp, kp, 1), lambda bi, ri, ci: (ri, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            blk, lambda bi, ii, ci: (bi, ii, 0, 0, ci),
+            blk, lambda bi, ri, ci: (bi, ri, 0, 0, ci),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, ip, jp, kp, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n, jp, kp, cp), x_bxvxc.dtype
+        ),
         interpret=interpret,
-    )(xg, xg, xg)
-    # NOTE: i-edge clamping feeds garbage only into the i = 0 / ip-1 pad
-    # rows, which this interior slice discards.
-    return out[:, 1:n + 1, 1:n + 1, 1:n + 1, :c].reshape(b, v, c)
+    )(xg, xg, xg, sg)
+    return out[:, :, 1:n + 1, 1:n + 1, :c].reshape(b, v, c)
 
 
 @functools.partial(
@@ -151,11 +172,14 @@ def lattice_neighbor_mean(
 ) -> jnp.ndarray:
     """Row-normalized neighbor mean (adj @ x) on the regular lattice.
 
-    out = invdeg * S(x); the symmetric offset set makes the VJP
-    gx = S(invdeg * g) — the same pallas kernel, no transpose kernel.
+    out = invdeg * S(x), scaled in-kernel; the symmetric offset set
+    makes the VJP gx = S(invdeg * g) — the same kernel applied to the
+    scaled cotangent (the scale there is an input pre-multiply, which
+    XLA fuses with the kernel's pad).
     """
-    s = stencil_sum(x_bxvxc, n, offsets, interpret=interpret)
-    return s * inv_deg_v[None, :, None]
+    return stencil_sum(
+        x_bxvxc, n, offsets, scale_v=inv_deg_v, interpret=interpret
+    )
 
 
 def _lnm_fwd(x, inv_deg, n, offsets, interpret):

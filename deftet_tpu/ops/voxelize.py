@@ -183,19 +183,21 @@ def occupancy_from_grid_soa(
 
     cx, cy, cz = to_vox(x_bxp), to_vox(y_bxp), to_vox(z_bxp)
     if interp == "nearest":
-        # bf16 table + payload: the read is a random-access HBM gather
-        # whose cost tracks payload bytes; the texture holds {0,1} (or
-        # probabilities compared against `threshold`), both exact enough
-        # in bf16 (measured: bf16 payloads halve gather time).
-        grid = occ_grid_bxgxgxg.astype(jnp.bfloat16)
-        b = grid.shape[0]
-        flat = grid.reshape(b, g * g * g)
+        # int8 table + payload: the read is a random-access HBM gather
+        # whose cost tracks payload bytes (measured: bf16 halved the f32
+        # gather time).  Thresholding commutes with a nearest gather
+        # (elementwise on the table == elementwise on the result), so the
+        # table is pre-thresholded to {0,1} int8 — exact for binary AND
+        # probability textures, at a quarter of the f32 payload.
+        bits = (occ_grid_bxgxgxg > threshold).astype(jnp.int8)
+        b = bits.shape[0]
+        flat = bits.reshape(b, g * g * g)
         ix, iy, iz = (
             jnp.clip(jnp.round(c), 0, g - 1).astype(jnp.int32)
             for c in (cx, cy, cz)
         )
         vals = jnp.take_along_axis(flat, ix * (g * g) + iy * g + iz, axis=1)
-        return (vals > jnp.bfloat16(threshold)).astype(jnp.float32)
+        return vals.astype(jnp.float32)
     grid = occ_grid_bxgxgxg.astype(jnp.float32)
     vals = _trilinear_scalar_soa(grid, cx, cy, cz)
     return (vals > threshold).astype(jnp.float32)

@@ -333,6 +333,18 @@ def forward_losses(
     terms["occ_iou"] = iou(
         logits, gt_occ, thresh=config.iou_logit_threshold
     )
+    if want(config.lambda_surf) or want(config.lambda_surf_chamfer) or want(
+        config.lambda_normal
+    ):
+        # Fraction of batch rows whose boundary-face count exceeds the
+        # static compaction budget (surface losses then see a uniformly
+        # truncated first-k subset) — the training-side twin of the eval
+        # harness's boundary_overflow metric.
+        budget = config.resolved_max_boundary_faces()
+        n_boundary = jnp.sum(boundary_mask > 0, axis=1)
+        terms["boundary_overflow"] = jnp.mean(
+            (n_boundary > budget).astype(jnp.float32)
+        )
     return (total, (terms, mutated))
 
 

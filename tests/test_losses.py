@@ -661,3 +661,48 @@ def test_chamfer_samples_cap_estimator_consistent():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(capped), rtol=0.1
     )
+
+
+def test_compact_indices_bitselect_matches_oracle():
+    """Packed-bit rank/select compaction (_compact_indices, F >= 2048
+    path) vs a numpy nonzero oracle: random densities, exact-k, empty,
+    full, overflow, and non-word-aligned F."""
+    from deftet_tpu.losses.surface import _compact_indices
+
+    rng = np.random.default_rng(3)
+    for f_total, k, dens in (
+        (4096, 128, 0.01),
+        (5000, 200, 0.3),     # F not a multiple of 512/32
+        (8192, 64, 0.9),      # heavy overflow of the budget
+        (2048, 2048, 0.5),    # k == F
+        (6000, 100, 0.0),     # empty mask
+        (2600, 64, 1.0),      # full mask
+    ):
+        mask = (rng.uniform(size=(3, f_total)) < dens).astype(np.float32)
+        idx, valid = _compact_indices(jnp.asarray(mask), k)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        assert idx.shape == (3, k) and valid.shape == (3, k)
+        for bi in range(3):
+            want = np.nonzero(mask[bi])[0][:k]
+            nv = want.shape[0]
+            np.testing.assert_array_equal(idx[bi, :nv], want)
+            np.testing.assert_array_equal(valid[bi, :nv], 1.0)
+            np.testing.assert_array_equal(valid[bi, nv:], 0.0)
+            assert idx[bi].max() < f_total and idx[bi].min() >= 0
+
+
+def test_compact_indices_bitselect_matches_small_path():
+    """The packed path and the small-F searchsorted path agree on the
+    same mask (idx on valid prefix + valid mask)."""
+    from deftet_tpu.losses.surface import _compact_indices
+
+    rng = np.random.default_rng(4)
+    mask = (rng.uniform(size=(2, 2048)) < 0.1).astype(np.float32)
+    idx_a, val_a = _compact_indices(jnp.asarray(mask), 64)
+    idx_b, val_b = _compact_indices(jnp.asarray(mask[:, :2047]), 64)
+    nv = int(min(np.asarray(val_a).sum(1).min(),
+                 np.asarray(val_b).sum(1).min()))
+    assert nv > 0
+    np.testing.assert_array_equal(
+        np.asarray(idx_a)[:, :nv], np.asarray(idx_b)[:, :nv]
+    )

@@ -69,6 +69,9 @@ def test_train_step_runs_and_losses_finite(engine, tiny_dataset):
     for k, v in terms.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     assert float(terms["total"]) > 0.0
+    # surface losses on by default -> the compaction-budget overflow
+    # fraction is reported (and a tiny grid never overflows 8 r^2)
+    assert float(terms["boundary_overflow"]) == 0.0
 
 
 def test_loss_decreases_and_iou_rises(engine, tiny_dataset):
