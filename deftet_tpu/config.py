@@ -45,6 +45,11 @@ class TrainConfig:
 
     # -- optimization (train_multigpu.py:119-143) ---------------------------
     lr: float = 1e-3
+    # Optional cosine decay lr -> lr * lr_final_scale over lr_decay_steps
+    # optimizer updates.  0 decay steps = constant lr (reference parity:
+    # the reference's Adam has no schedule, train_multigpu.py:119).
+    lr_decay_steps: int = 0
+    lr_final_scale: float = 0.1
     epochs: int = 100
     grad_norm: bool = True
     grad_norm_clip: float = 40.0

@@ -60,7 +60,15 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     chain = []
     if config.grad_norm:
         chain.append(optax.clip_by_global_norm(config.grad_norm_clip))
-    chain.append(optax.adam(config.lr))
+    decay_steps = getattr(config, "lr_decay_steps", 0)
+    if decay_steps > 0:
+        lr = optax.cosine_decay_schedule(
+            config.lr, decay_steps,
+            alpha=getattr(config, "lr_final_scale", 0.1),
+        )
+    else:
+        lr = config.lr
+    chain.append(optax.adam(lr))
     return optax.chain(*chain)
 
 

@@ -282,3 +282,38 @@ def test_train_cli_writes_split_manifest(tmp_path):
     with open(os.path.join(exp_dirs[0], "metrics.jsonl")) as f:
         kinds = {json.loads(ln)["kind"] for ln in f}
     assert "val_inference" in kinds
+
+
+def test_lr_cosine_decay_schedule():
+    """lr_decay_steps > 0 switches Adam onto a cosine schedule ending at
+    lr * lr_final_scale; default config stays constant-lr (parity)."""
+    import optax
+
+    from deftet_tpu.config import TrainConfig
+    from deftet_tpu.train.step import make_optimizer
+
+    cfg = TrainConfig(lr=1e-3, lr_decay_steps=100, lr_final_scale=0.1)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+
+    def first_update_size(tx, state):
+        updates, _ = tx.update(grads, state, params)
+        return float(jnp.abs(updates["w"][0]))
+
+    # step the schedule to the end: update magnitude shrinks ~10x
+    early = first_update_size(tx, state)
+    for _ in range(100):
+        _, state = tx.update(grads, state, params)
+    late = first_update_size(tx, state)
+    assert late < early * 0.2, (early, late)
+
+    cfg0 = TrainConfig(lr=1e-3)
+    tx0 = make_optimizer(cfg0)
+    s0 = tx0.init(params)
+    e0 = first_update_size(tx0, s0)
+    for _ in range(100):
+        _, s0 = tx0.update(grads, s0, params)
+    l0 = first_update_size(tx0, s0)
+    assert abs(l0 - e0) / e0 < 0.5, (e0, l0)
