@@ -337,15 +337,17 @@ def _compact_indices(boundary_mask_bxf: jnp.ndarray, k: int):
     b, f_total = boundary_mask_bxf.shape
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)
     if f_total < 2048:
-        rank = jnp.cumsum(boundary_mask_bxf.astype(jnp.int32), axis=1)
+        # same membership test as the packed path (mask > 0), so the
+        # two paths agree on non-binary masks
+        rank = jnp.cumsum(
+            (boundary_mask_bxf > 0).astype(jnp.int32), axis=1
+        )
         idx = jax.vmap(
             lambda r: jnp.searchsorted(r, targets, side="left")
         )(rank).astype(jnp.int32)
-        n = rank[:, -1]
-        valid = (
-            jnp.arange(k, dtype=n.dtype)[None] < n[:, None]
-        ).astype(boundary_mask_bxf.dtype)
-        return jnp.minimum(idx, f_total - 1), valid
+        return _compact_epilogue(
+            idx, rank[:, -1], k, f_total, boundary_mask_bxf.dtype
+        )
 
     wb = 16                                   # words/block (512 bits)
     nb = -(-f_total // (32 * wb))             # number of blocks
@@ -405,10 +407,17 @@ def _compact_indices(boundary_mask_bxf: jnp.ndarray, k: int):
     p = jnp.sum((bcum < ltw[..., None]).astype(jnp.int32), axis=-1)
 
     idx = (bi_c * (wb * 32) + wi_c * 32 + p).astype(jnp.int32)
-    n = blk_cum[:, -1]
+    return _compact_epilogue(
+        idx, blk_cum[:, -1], k, f_total, boundary_mask_bxf.dtype
+    )
+
+
+def _compact_epilogue(idx, n_bx, k, f_total, dtype):
+    """Shared tail of both _compact_indices paths: clamp garbage past
+    the boundary count and build the first-n validity mask."""
     valid = (
-        jnp.arange(k, dtype=n.dtype)[None] < n[:, None]
-    ).astype(boundary_mask_bxf.dtype)
+        jnp.arange(k, dtype=n_bx.dtype)[None] < n_bx[:, None]
+    ).astype(dtype)
     return jnp.minimum(idx, f_total - 1), valid
 
 

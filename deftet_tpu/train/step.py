@@ -289,19 +289,32 @@ def forward_losses(
             statics.face_edge_ids, statics.vert_face_inc_idx,
             statics.vert_face_inc_mask,
         )
+        budget = config.resolved_max_boundary_faces()
         chamfer, analytic, normal = surface_align_losses(
             k_surf, tet_pos, statics.face_fx3, boundary_mask,
             boundary_sign, gt_surface, edge_topo,
             per_face_samples=config.per_face_samples,
-            max_boundary_faces=config.resolved_max_boundary_faces(),
+            max_boundary_faces=budget,
             with_chamfer=want(config.lambda_surf_chamfer),
             with_analytic=want(config.lambda_surf),
             with_normal=want(config.lambda_normal),
             samples_cap=getattr(config, "chamfer_samples_cap", 0),
             face_lattice=face_lattice,
         )
+        if budget > 0:
+            # Mean boundary-face count past the static compaction budget
+            # (same units as the eval harness's boundary_overflow): >0
+            # means the surface losses saw a uniformly truncated first-k
+            # subset this step.  budget 0 = no compaction, no overflow.
+            n_boundary = jnp.sum(boundary_mask > 0, axis=1)
+            boundary_overflow = jnp.mean(
+                jnp.maximum(n_boundary - budget, 0).astype(jnp.float32)
+            )
+        else:
+            boundary_overflow = jnp.zeros(())
     else:
         chamfer = analytic = normal = b_zero
+        boundary_overflow = None
 
     # --- occupancy BCE on the subsampled centers ---------------------------
     gt_occ = center_occ[:, center_idx]
@@ -341,18 +354,8 @@ def forward_losses(
     terms["occ_iou"] = iou(
         logits, gt_occ, thresh=config.iou_logit_threshold
     )
-    if want(config.lambda_surf) or want(config.lambda_surf_chamfer) or want(
-        config.lambda_normal
-    ):
-        # Fraction of batch rows whose boundary-face count exceeds the
-        # static compaction budget (surface losses then see a uniformly
-        # truncated first-k subset) — the training-side twin of the eval
-        # harness's boundary_overflow metric.
-        budget = config.resolved_max_boundary_faces()
-        n_boundary = jnp.sum(boundary_mask > 0, axis=1)
-        terms["boundary_overflow"] = jnp.mean(
-            (n_boundary > budget).astype(jnp.float32)
-        )
+    if boundary_overflow is not None:
+        terms["boundary_overflow"] = boundary_overflow
     return (total, (terms, mutated))
 
 

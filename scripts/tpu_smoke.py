@@ -77,10 +77,10 @@ for dtype in (jnp.float32, jnp.bfloat16):
     got = lattice_neighbor_mean(x, jnp.asarray(inv_deg), n, offs)
     # conv-free numpy oracle
     xg = np.asarray(x, np.float32).reshape(2, n, n, n, 128)
+    xp = np.pad(xg, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     acc = np.zeros_like(xg)
     for dx, dy, dz in offs:
-        acc += np.roll(
-            np.pad(xg, ((0,0),(1,1),(1,1),(1,1),(0,0)))[:, 1+dx:1+dx+n, 1+dy:1+dy+n, 1+dz:1+dz+n], 0, axis=0)
+        acc += xp[:, 1+dx:1+dx+n, 1+dy:1+dy+n, 1+dz:1+dz+n]
     want = acc.reshape(2, n**3, 128) * inv_deg[None, :, None]
     check(f"stencil {dtype.__name__}", np.asarray(got, np.float32), want,
           5e-2 if dtype == jnp.bfloat16 else 1e-4)
