@@ -136,13 +136,20 @@ def eval_main(argv=None) -> int:
                         "sampling), so a res-50 checkpoint can extract "
                         "surfaces on a res-70 grid — finer cells, better "
                         "small-radius F-score")
+    parser.add_argument("--eval_points", type=int, default=100_000,
+                        help="surface samples per side for F-score/Chamfer "
+                        "(reference eval.py:244 uses 100k; point-to-point "
+                        "metrics are sampling-density-floored, so small "
+                        "counts understate surface quality)")
     args = parser.parse_args(argv)
 
     experiment = Experiment.load(args.experiment_path)
-    config = experiment.config
-    if args.res:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    config = _dc.replace(
+        experiment.config, eval_points=args.eval_points
+    )
+    if args.res:
         config = _dc.replace(config, res=args.res)
     engine = Engine(config, experiment=experiment)
     engine.restore(args.checkpoint)

@@ -90,6 +90,16 @@ class TrainConfig:
             return max(64, 2 * self.res)
         return self.occ_grid_res
     occ_sample: int = 10000        # random tet centers per step (use_mask)
+    # Surface sample count for the inference metrics (F-score / Chamfer /
+    # Hausdorff).  0 = num_sample_points (cheap, used for per-validation
+    # monitoring during training).  The reference evaluates with 100k
+    # points per side (eval.py:244, dataloader.py:68-89); point-to-point
+    # metrics have a sampling-density floor (~0.5 sqrt(area/n)), so small
+    # counts cap the reportable F-score far below the true surface
+    # quality — two independent 5k samplings of the SAME mesh measure
+    # F@0.01 = 0.48 / chamfer 0.011, vs 1.0 / 0.0025 at 100k.
+    # deftet-eval defaults this to 100_000.
+    eval_points: int = 0
     occ_threshold: float = 0.4     # pred_threshold
     iou_logit_threshold: float = 0.1  # parallel.py:238 thresh=.1 on logits
 

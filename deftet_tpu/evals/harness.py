@@ -300,18 +300,33 @@ def make_inference_step(model, config: TrainConfig, lattice_offsets=None,
         val_iou_max = jnp.stack(list(sweep.values())).max()
 
         # ---- surface metrics -------------------------------------------
-        n_res = config.num_sample_points
-        pred_pts = sample_mesh_points(rng, face_pos, work_mask, n_res)
-        gt_pts = surface[:, :n_res]
+        # Reference parity needs ~100k points per side (eval.py:244):
+        # point-to-point F-score/Chamfer have a sampling-density floor
+        # (two 5k samplings of the SAME mesh: F@0.01=0.48), so the count
+        # is a measurement parameter, not a speed knob.
+        n_res = config.eval_points or config.num_sample_points
+        gt_face_mask = (
+            jnp.arange(batch["faces"].shape[1])[None, :]
+            < batch["n_faces"][:, None]
+        ).astype(jnp.float32)
+        k_pred, k_gt = jax.random.split(rng)
+        pred_pts = sample_mesh_points(k_pred, face_pos, work_mask, n_res)
+        if n_res <= surface.shape[1]:
+            gt_pts = surface[:, :n_res]
+        else:
+            # budget exceeds the shard's pre-sampled points: resample the
+            # GT watertight mesh directly (same area-weighted sampler the
+            # offline pipeline / kaolin sample_points use)
+            gt_tri = batch["verts"][
+                jnp.arange(bsz)[:, None, None],
+                batch["faces"].astype(jnp.int32),
+            ]
+            gt_pts = sample_mesh_points(k_gt, gt_tri, gt_face_mask, n_res)
         fs = f_score(gt_pts, pred_pts, radius=0.01)
         fs_ext = f_score(gt_pts, pred_pts, radius=0.01, extend=True)
         ch = chamfer_distance(pred_pts, gt_pts)
         ch_l1 = chamfer_distance_l1(pred_pts, gt_pts)
 
-        gt_face_mask = (
-            jnp.arange(batch["faces"].shape[1])[None, :]
-            < batch["n_faces"][:, None]
-        ).astype(jnp.float32)
         # predicted surface as an indexed soup: verts = flattened corners
         kf = face_pos.shape[1]
         pred_verts = face_pos.reshape(bsz, kf * 3, 3)

