@@ -45,7 +45,15 @@ def prior_round_baseline(metric: str) -> float | None:
 
 
 def main():
+    # Honor DEFTET_PLATFORM=cpu|tpu like the CLIs do — the axon TPU
+    # plugin ignores the JAX_PLATFORMS env var, so a CPU smoke run
+    # (BENCH_SMALL) silently lands on the TPU without this, colliding
+    # with any live TPU process (one-process rule).
+    plat = os.environ.get("DEFTET_PLATFORM")
     import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.random as jrandom
 
     from deftet_tpu.config import TrainConfig

@@ -31,8 +31,11 @@ import jax.numpy as jnp
 _VGG_D = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
           512, 512, 512, "M", 512, 512, 512, "M")
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# Plain tuples, NOT jnp arrays: module-level jax ops initialize the
+# default backend at import time (hangs all imports when the TPU
+# terminal is unreachable); converted to traced constants in-call.
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 class VGG16Features(nn.Module):
@@ -89,7 +92,9 @@ class DISNEncoder(nn.Module):
                 method="linear",
             )
         if self.normalize:
-            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+            x = (x - jnp.asarray(_IMAGENET_MEAN, x.dtype)) / jnp.asarray(
+                _IMAGENET_STD, x.dtype
+            )
         global_feat, maps = VGG16Features(
             num_classes=self.image_encoding_dim, width=self.width
         )(x)

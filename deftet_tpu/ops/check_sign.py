@@ -22,14 +22,18 @@ import jax.numpy as jnp
 
 from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
-_JITTER = jnp.asarray([4.9e-7, 7.3e-7, 0.0], dtype=jnp.float32)
+# Plain tuple, NOT a jnp array: a module-level jax op initializes the
+# default backend at import time — before any CLI/entry-point platform
+# forcing can run — and hangs every import when the TPU terminal is
+# unreachable.  Converted to a traced constant inside the jitted fn.
+_JITTER = (4.9e-7, 7.3e-7, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _check_sign_single(verts_nx3, faces_fx3, n_valid_faces, query_px3, chunk):
     tri = verts_nx3[faces_fx3]  # (F, 3, 3)
     tri_pad, _ = pad_axis(tri, 0, chunk, 0.0)
-    q = query_px3 + _JITTER[None, :]
+    q = query_px3 + jnp.asarray(_JITTER, query_px3.dtype)[None, :]
 
     init = jnp.zeros(q.shape[0], dtype=jnp.int32)
 

@@ -197,6 +197,13 @@ class RenderOptConfig:
     # so larger k is cheap (k 10->30 measured +11% step time).
     k: int = 300
     raster_chunk: int = 1024
+    # Pixel-chunk size for FULL-FRAME renders (PSNR eval / turntable
+    # export).  Training steps render only the sampled pixel subset; a
+    # full frame in one chunk multiplies the raster's live
+    # (pixels, face_chunk) tile by ~16x and, at multi-million-face
+    # post-subdivision scenes, has crashed the remote TPU worker — keep
+    # eval frames tiled.
+    eval_pix_chunk: int = 4096
     seed: int = 0
 
 
@@ -347,10 +354,11 @@ def render_full_image(
     pose_4x4: np.ndarray,
     hwf,
     cfg: RenderOptConfig,
-    pix_chunk: int = 16384,
+    pix_chunk: int = 0,
 ):
     """Full-frame render in pixel chunks; returns (H, W, 3) + (H, W, 1)."""
     h, w, focal = hwf
+    pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
     grid = pixel_grid(h, w)
     colors, masks = [], []
