@@ -1,6 +1,8 @@
 """End-to-end 2D-supervision pipeline test: optimize a tiny tet grid
 against procedurally rendered GT and check the image loss drops."""
 
+import json
+
 import numpy as np
 
 from deftet_tpu.render.optimize import (
@@ -177,3 +179,43 @@ def test_save_surface_obj_includes_occupied_hull_faces(tmp_path):
     )
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts == 2).all(), "exported hull surface is not closed"
+
+def test_load_blender_fake_dataset(tmp_path):
+    """NeRF-synthetic loader parity (2_data/load_blender.py:55-115):
+    per-split transforms json + RGBA pngs -> stacked [0,1] images, pose
+    matrices, focal from camera_angle_x, and half-res decimation."""
+    import imageio.v2 as imageio
+
+    from deftet_tpu.render.optimize import load_blender
+
+    rng = np.random.default_rng(0)
+    h = w = 8
+    counts = {"train": 3, "val": 1, "test": 2}
+    for split, n in counts.items():
+        frames = []
+        for i in range(n):
+            name = f"r_{split}_{i}"
+            img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            imageio.imwrite(tmp_path / f"{name}.png", img)
+            pose = np.eye(4)
+            pose[:3, 3] = [i, 0.0, 4.0]
+            frames.append(
+                {"file_path": f"./{name}",
+                 "transform_matrix": pose.tolist()}
+            )
+        with open(tmp_path / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+
+    imgs, poses, (hh, ww, focal), i_split = load_blender(
+        str(tmp_path), half_res=False
+    )
+    assert imgs.shape == (6, h, w, 4)
+    assert imgs.dtype == np.float32 and imgs.max() <= 1.0
+    assert poses.shape == (6, 4, 4)
+    assert np.allclose(poses[1, :3, 3], [1.0, 0.0, 4.0])
+    assert [len(s) for s in i_split] == [3, 1, 2]
+    assert abs(focal - 0.5 * w / np.tan(0.5 * 0.6911)) < 1e-4
+
+    imgs2, _, (h2, w2, f2), _ = load_blender(str(tmp_path), half_res=True)
+    assert imgs2.shape == (6, h // 2, w // 2, 4)
+    assert (h2, w2) == (h // 2, w // 2) and abs(f2 * 2 - focal) < 1e-6
