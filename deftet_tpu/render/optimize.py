@@ -204,6 +204,17 @@ class RenderOptConfig:
     # post-subdivision scenes, has crashed the remote TPU worker — keep
     # eval frames tiled.
     eval_pix_chunk: int = 4096
+    # Post-subdivision tet budget (0 = unlimited = exact reference
+    # semantics).  The reference subdivides EVERY alive tet between
+    # sublevels (subdivision(None), optim...py:518-521) and relies on the
+    # in-stage carving to bound the 8x growth; with a lax delete
+    # threshold that overflows a 16GB chip near ~2M tets (repeated remote
+    # TPU worker crashes at 1.89M).  When the all-tet split would exceed
+    # the budget, carve_and_subdivide escalates: harder carve thresholds
+    # (guarded by a quick held-out PSNR check), then surface-band
+    # selective subdivision, then no subdivision at all.
+    tet_budget: int = 1_000_000
+    presubdiv_psnr_drop: float = 0.3  # max quick-PSNR loss a harder carve may cost
     seed: int = 0
 
 
@@ -416,6 +427,83 @@ def export_turntable(
     return frames
 
 
+def carve_and_subdivide(
+    scene: TetScene,
+    params,
+    images,
+    poses,
+    hwf,
+    i_quick,
+    cfg: RenderOptConfig,
+    log: Optional[Callable[[str], None]] = print,
+):
+    """Budget-bounded sublevel transition: carve, then 1->8 subdivide.
+
+    Reference semantics (carve at ``delete_threshold``, subdivide all
+    alive tets) whenever the result fits ``cfg.tet_budget``; otherwise
+    escalate in order of increasing quality risk:
+
+    1. harder carve thresholds (0.02 / 0.05 / 0.1, dilation 1), accepted
+       only if PSNR on the ``i_quick`` views drops < ``presubdiv_psnr_drop``
+       vs the reference-carved state;
+    2. selective subdivision of the surface band only (tets whose min
+       corner alpha < 0.9 — carving already removed the empty band, so
+       min<0.9 selects the occupancy-transition region);
+    3. no subdivision (keep the current level).
+
+    Returns the (possibly new) params pytree; mutates ``scene``.
+    """
+    log = log or (lambda m: None)
+    scene.carve(
+        params, cfg.delete_threshold, neighbor_levels=cfg.carve_dilation
+    )
+    budget = cfg.tet_budget
+    if not budget or scene.n_tets * 8 <= budget:
+        return scene.subdivide(params, cfg.subdiv_threshold)
+
+    log(f"[subdiv] {scene.n_tets} alive tets would exceed the "
+        f"{budget} post-subdivision budget; escalating carve")
+
+    def quick_psnr():
+        _, p = evaluate_psnr(scene, params, images, poses, hwf, i_quick, cfg)
+        return p
+
+    base_psnr = quick_psnr()
+    tets_ref = scene.tets_tx4.copy()
+
+    def restore():
+        scene.tets_tx4 = tets_ref.copy()
+        scene.refresh_topology()
+
+    for thr in (0.02, 0.05, 0.1):
+        restore()
+        scene.carve(params, thr, neighbor_levels=1)
+        if scene.n_tets * 8 > budget:
+            log(f"[subdiv] carve thr={thr}: {scene.n_tets} tets, still "
+                f"over budget")
+            continue
+        psnr = quick_psnr()
+        log(f"[subdiv] carve thr={thr}: {scene.n_tets} tets, quick PSNR "
+            f"{psnr:.2f} (base {base_psnr:.2f})")
+        if base_psnr - psnr <= cfg.presubdiv_psnr_drop:
+            return scene.subdivide(params, cfg.subdiv_threshold)
+        break  # harder carving only loses more quality
+
+    # selective: split only the occupancy-transition band
+    restore()
+    alpha = 1.0 / (1.0 + np.exp(-np.asarray(params["feat"][:, 0])))
+    flagged = int((alpha[scene.tets_tx4].min(axis=1) < 0.9).sum())
+    est = 8 * flagged + (scene.n_tets - flagged)
+    if est <= budget:
+        log(f"[subdiv] selective surface-band split: {flagged} of "
+            f"{scene.n_tets} tets -> ~{est}")
+        return scene.subdivide(params, 0.9)
+
+    log(f"[subdiv] even selective split (~{est}) exceeds the budget; "
+        f"keeping the current level ({scene.n_tets} tets)")
+    return params
+
+
 def run_pipeline(
     images: np.ndarray,
     poses: np.ndarray,
@@ -456,5 +544,7 @@ def run_pipeline(
                 log(f"[sub {sub} {'mov' if gridmov else 'fix'}] "
                     f"mse={mse:.5f} psnr={psnr:.2f} tets={scene.n_tets}")
         if sub < cfg.sublevels:
-            params = scene.subdivide(params, cfg.subdiv_threshold)
+            params = carve_and_subdivide(
+                scene, params, images, poses, hwf, i_test[:4], cfg, log=log
+            )
     return scene, params, records

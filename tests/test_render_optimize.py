@@ -219,3 +219,65 @@ def test_load_blender_fake_dataset(tmp_path):
     imgs2, _, (h2, w2, f2), _ = load_blender(str(tmp_path), half_res=True)
     assert imgs2.shape == (6, h // 2, w // 2, 4)
     assert (h2, w2) == (h // 2, w // 2) and abs(f2 * 2 - focal) < 1e-6
+
+
+def test_carve_and_subdivide_budget_paths():
+    """Budget-bounded sublevel transition (carve_and_subdivide):
+    reference all-tet 8x split under budget; selective surface-band or
+    no-op escalation when the budget is tight."""
+    import jax.numpy as jnp
+
+    from deftet_tpu.render.optimize import carve_and_subdivide
+
+    images, poses, hwf, (i_train, _, i_test) = make_synthetic_scene(
+        n_views=3, height=16, width=16
+    )
+    cfg = RenderOptConfig(tet_res=3, k=4, pixel_sampling=0.5, seed=0)
+    grid = build_tet_grid(cfg.tet_res)
+
+    # --- under budget: exact reference semantics (all tets split 1->8)
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+    n0 = scene.n_tets
+    params = carve_and_subdivide(
+        scene, params, images, poses, hwf, i_test, cfg, log=None
+    )
+    assert scene.n_tets == 8 * n0
+    assert params["feat"].shape[0] == scene.n_points
+
+    # --- over budget, carvable: most tets empty (alpha ~ 0), a small
+    # occupied cluster; the escalated carve must fit the budget
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+    feat = np.full((scene.n_points, 4), -12.0, np.float32)
+    center = np.linalg.norm(scene.points_px3, axis=1) < 0.3
+    feat[center, 0] = 6.0
+    params = {"feat": jnp.asarray(feat), "mov": params["mov"]}
+    n_occupied = int(
+        (1.0 / (1.0 + np.exp(-feat[scene.tets_tx4[:, 0], 0])) > 0.1).sum()
+    )
+    assert 0 < n_occupied < scene.n_tets
+    cfg_tight = RenderOptConfig(
+        tet_res=3, k=4, pixel_sampling=0.5, seed=0,
+        tet_budget=8 * scene.n_tets - 1,  # all-split cannot fit
+    )
+    n0 = scene.n_tets
+    params = carve_and_subdivide(
+        scene, params, images, poses, hwf, i_test, cfg_tight, log=None
+    )
+    assert scene.n_tets <= cfg_tight.tet_budget
+    assert scene.n_tets < 8 * n0
+    assert params["feat"].shape[0] == scene.n_points
+
+    # --- budget so tight even selective split fails: keep current level
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()  # all alpha 0.5: carving keeps all
+    n0 = scene.n_tets
+    cfg_noop = RenderOptConfig(
+        tet_res=3, k=4, pixel_sampling=0.5, seed=0, tet_budget=n0 + 1,
+    )
+    params2 = carve_and_subdivide(
+        scene, params, images, poses, hwf, i_test, cfg_noop, log=None
+    )
+    assert scene.n_tets == n0
+    assert params2["feat"].shape[0] == scene.n_points
