@@ -309,8 +309,17 @@ def optimize_stage(
     weights: Optional[Dict[str, float]] = None,
     log_every: int = 200,
     log: Optional[Callable[[str], None]] = print,
+    lr_div: float = 1.0,
 ):
-    """One {mov | fix} stage; re-jits whenever carving changes topology."""
+    """One {mov | fix} stage; re-jits whenever carving changes topology.
+
+    ``lr_div`` divides both Adam learning rates — the reference decays
+    lr per sublevel (lr_fix/(i+1), lr_mov/(i+1),
+    optim_with_mask_subdiv_from_gridmov.py:493-499); run_pipeline passes
+    sublevel+1.  Without it the sub1+ grid-motion stages run at 2-3x the
+    reference lr, which destabilizes held-out PSNR (the round-1 mov-stage
+    regressions).
+    """
     weights = weights or DEFAULT_WEIGHTS
     h, w, focal = hwf
     gt_color, gt_mask = _white_composite(images)
@@ -320,8 +329,8 @@ def optimize_stage(
     cams = [camera_from_blender(poses[i], focal, h, w) for i in
             range(len(poses))]
 
-    opt_feat = optax.adam(cfg.lr_feat, b1=0.5, b2=0.999)
-    opt_mov = optax.adam(cfg.lr_mov, b1=0.5, b2=0.999)
+    opt_feat = optax.adam(cfg.lr_feat / lr_div, b1=0.5, b2=0.999)
+    opt_mov = optax.adam(cfg.lr_mov / lr_div, b1=0.5, b2=0.999)
     osf = opt_feat.init({"feat": params["feat"]})
     osm = opt_mov.init({"mov": params["mov"]})
     step_fn = make_render_step(scene, weights, gridmov, cfg, opt_feat,
@@ -532,6 +541,7 @@ def run_pipeline(
             params, _ = optimize_stage(
                 scene, params, images, poses, hwf, i_train, cfg,
                 gridmov=gridmov, steps=steps, weights=weights, log=log,
+                lr_div=float(sub + 1),
             )
             mse, psnr = evaluate_psnr(
                 scene, params, images, poses, hwf, i_test, cfg
