@@ -160,12 +160,19 @@ def make_synthetic_scene(
         images.append(img)
     images = np.stack(images).astype(np.float32)
     poses = np.stack(poses).astype(np.float32)
-    n_train = max(1, int(0.75 * n_views))
-    splits = [
-        np.arange(n_train),
-        np.arange(n_train, n_views),
-        np.arange(n_train, n_views),
-    ]
+    # Interleaved holdout (every 4th view) rather than a contiguous tail:
+    # the views live on one azimuth circle, so a contiguous 25% tail is a
+    # never-seen 90-degree arc — an extrapolation test no NeRF-synthetic
+    # benchmark imposes (their train/test views share the same pose
+    # distribution).  Interleaving keeps test views within the trained
+    # azimuth coverage.
+    idx = np.arange(n_views)
+    if n_views >= 4:
+        i_test = idx[::4]
+        i_train = np.setdiff1d(idx, i_test)
+    else:
+        i_train, i_test = idx[: max(1, n_views - 1)], idx[-1:]
+    splits = [i_train, i_test, i_test]
     return images, poses, (height, width, focal), splits
 
 
