@@ -318,6 +318,10 @@ def render_main(argv=None) -> int:
     parser.add_argument("--pixelsampling", type=float, default=0.04)
     # kaolin deftet_sparse_render knum default (see RenderOptConfig.k)
     parser.add_argument("--peel_k", type=int, default=300)
+    parser.add_argument("--tet_budget", type=int, default=1_000_000,
+                        help="post-subdivision tet budget; 0 = unlimited "
+                        "(exact reference semantics — subdivide every "
+                        "alive tet).  See RenderOptConfig.tet_budget.")
     parser.add_argument("--seed", type=int, default=0)
     for name, default in (
         ("weights_im_loss", 1.0), ("weights_mask_loss", 2.0),
@@ -359,7 +363,8 @@ def render_main(argv=None) -> int:
         steps_fix=args.optfixnum, steps_mov=args.optmovnum,
         pixel_sampling=args.pixelsampling, lr_feat=args.lrfix,
         lr_mov=args.lrmov, delete_every=args.deletenum,
-        delete_threshold=args.deletethres, k=args.peel_k, seed=args.seed,
+        delete_threshold=args.deletethres, k=args.peel_k,
+        tet_budget=args.tet_budget, seed=args.seed,
     )
     outdir = os.path.join(args.savedir, args.expname)
     os.makedirs(outdir, exist_ok=True)
