@@ -34,6 +34,12 @@ def test_synthetic_scene_shapes():
     # object visible: mask covers some but not all pixels
     mask = images[..., 3]
     assert 0.01 < mask.mean() < 0.9
+    # interleaved holdout: test views sit inside the trained azimuth
+    # range (every 4th view), not a contiguous never-seen arc
+    i_train, i_val, i_test = splits
+    np.testing.assert_array_equal(i_test, [0])
+    assert len(i_train) + len(i_test) == 4
+    assert len(np.intersect1d(i_train, i_test)) == 0
 
 
 def test_optimize_stage_reduces_loss():
