@@ -192,3 +192,33 @@ def test_delete_tets():
     kept = delete_tets(grid.tets, w, threshold=0.5)
     assert kept.shape[0] >= 1
     assert (w[kept].max(axis=1) > 0.5).all()
+
+
+def test_read_reference_quartet_tet_file():
+    """Parse the reference's own quartet-generated grid when present
+    (diff_render/diftet_6_subdiv/data/cube_40_tet.tet — the topology
+    behind the shipped lego artifact): positive volumes after
+    orientation, indices in range, normalized [0,1] coordinates."""
+    import os
+
+    import pytest
+
+    path = (
+        "/root/reference/diff_render/diftet_6_subdiv/data/cube_40_tet.tet"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference quartet grid not available")
+    g = read_tet_file(path)
+    assert g.n_vertices == 9472 and g.n_tets == 47472
+    assert g.vertices.min() >= 0.0 and g.vertices.max() <= 1.0
+    assert g.tets.min() >= 0 and g.tets.max() < g.n_vertices
+    c = g.centered_vertices()
+    assert abs(c.min() + 0.5) < 1e-6 and abs(c.max() - 0.5) < 1e-6
+    # oriented: signed volume of every tet is positive
+    p = g.vertices[g.tets]
+    v = np.einsum(
+        "ij,ij->i",
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+        p[:, 3] - p[:, 0],
+    )
+    assert (v > 0).all()
