@@ -123,12 +123,25 @@ def main():
     # Warmup / compile.  NOTE: synchronize via a host fetch (float()), not
     # block_until_ready — some remote TPU backends return from
     # block_until_ready before execution completes, which silently turns
-    # the benchmark into a dispatch-rate measurement.
+    # the benchmark into a dispatch-rate measurement.  The remote compile
+    # service occasionally drops the connection mid-compile; retry the
+    # warmup a few times rather than losing the round's benchmark.
     note("compiling train step")
-    state, terms = engine._train_step(
-        engine.state, sharded, jrandom.PRNGKey(0), engine.statics
-    )
-    float(terms["total"])
+    last_err = None
+    for attempt in range(3):
+        try:
+            state, terms = engine._train_step(
+                engine.state, sharded, jrandom.PRNGKey(0), engine.statics
+            )
+            float(terms["total"])
+            last_err = None
+            break
+        except Exception as e:  # noqa: BLE001 — RPC-layer errors vary
+            last_err = e
+            note(f"warmup attempt {attempt + 1} failed: {e}; retrying in 30s")
+            time.sleep(30)
+    if last_err is not None:
+        raise last_err
     engine.state = state
     note("compiled; timing")
 
