@@ -138,8 +138,12 @@ def main():
             break
         except Exception as e:  # noqa: BLE001 — RPC-layer errors vary
             last_err = e
-            note(f"warmup attempt {attempt + 1} failed: {e}; retrying in 30s")
-            time.sleep(30)
+            if attempt < 2:
+                note(
+                    f"warmup attempt {attempt + 1} failed: {e}; "
+                    "retrying in 30s"
+                )
+                time.sleep(30)
     if last_err is not None:
         raise last_err
     engine.state = state

@@ -169,10 +169,15 @@ def make_synthetic_scene(
     idx = np.arange(n_views)
     if n_views >= 4:
         i_test = idx[::4]
-        i_train = np.setdiff1d(idx, i_test)
+        # A distinct half-density val subset (offset 2 mod 8 — disjoint
+        # from the test residues 0 mod 4) so in-pipeline decisions (the
+        # carve-escalation PSNR guard) never consult test views.
+        i_val = idx[2::8]
+        i_train = np.setdiff1d(idx, np.concatenate([i_test, i_val]))
     else:
         i_train, i_test = idx[: max(1, n_views - 1)], idx[-1:]
-    splits = [i_train, i_test, i_test]
+        i_val = i_test
+    splits = [i_train, i_val, i_test]
     return images, poses, (height, width, focal), splits
 
 
@@ -459,7 +464,8 @@ def carve_and_subdivide(
     alive tets) whenever the result fits ``cfg.tet_budget``; otherwise
     escalate in order of increasing quality risk:
 
-    1. harder carve thresholds (0.02 / 0.05 / 0.1, dilation 1), accepted
+    1. harder carve thresholds (20x / 50x / 100x ``delete_threshold``,
+       dilation 1 — the default 1e-3 gives 0.02 / 0.05 / 0.1), accepted
        only if PSNR on the ``i_quick`` views drops < ``presubdiv_psnr_drop``
        vs the reference-carved state;
     2. selective subdivision of the surface band only (tets whose min
@@ -491,7 +497,8 @@ def carve_and_subdivide(
         scene.tets_tx4 = tets_ref.copy()
         scene.refresh_topology()
 
-    for thr in (0.02, 0.05, 0.1):
+    for mult in (20.0, 50.0, 100.0):
+        thr = cfg.delete_threshold * mult
         restore()
         scene.carve(params, thr, neighbor_levels=1)
         if scene.n_tets * 8 > budget:
@@ -535,7 +542,7 @@ def run_pipeline(
     from ..tetgrid import build_tet_grid
 
     cfg = cfg or RenderOptConfig()
-    i_train, _, i_test = i_split
+    i_train, i_val, i_test = i_split
     grid = build_tet_grid(cfg.tet_res)
     scene = TetScene.from_grid(grid, coef=cfg.coef)
     params = scene.init_params()
@@ -562,6 +569,6 @@ def run_pipeline(
                     f"mse={mse:.5f} psnr={psnr:.2f} tets={scene.n_tets}")
         if sub < cfg.sublevels:
             params = carve_and_subdivide(
-                scene, params, images, poses, hwf, i_test[:4], cfg, log=log
+                scene, params, images, poses, hwf, i_val[:4], cfg, log=log
             )
     return scene, params, records

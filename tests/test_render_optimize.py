@@ -38,8 +38,13 @@ def test_synthetic_scene_shapes():
     # range (every 4th view), not a contiguous never-seen arc
     i_train, i_val, i_test = splits
     np.testing.assert_array_equal(i_test, [0])
-    assert len(i_train) + len(i_test) == 4
+    # val is held out from BOTH train and test (the carve-escalation
+    # guard consults val, so it must not leak test views)
     assert len(np.intersect1d(i_train, i_test)) == 0
+    assert len(np.intersect1d(i_val, i_test)) == 0
+    assert len(np.intersect1d(i_train, i_val)) == 0
+    all_views = np.sort(np.concatenate([i_train, i_val, i_test]))
+    np.testing.assert_array_equal(all_views, np.arange(4))
 
 
 def test_optimize_stage_reduces_loss():
@@ -287,3 +292,43 @@ def test_carve_and_subdivide_budget_paths():
     )
     assert scene.n_tets == n0
     assert params2["feat"].shape[0] == scene.n_points
+
+
+def test_carve_and_subdivide_selective_band_split():
+    """Pins escalation step 2: when no carve threshold can fit the
+    budget (all alphas above the hardest escalated threshold) but the
+    surface band alone fits, only tets with min corner alpha < 0.9 are
+    split and the rest survive unsplit."""
+    import jax.numpy as jnp
+
+    from deftet_tpu.render.optimize import carve_and_subdivide
+
+    images, poses, hwf, (_, i_val, _) = make_synthetic_scene(
+        n_views=3, height=16, width=16
+    )
+    grid = build_tet_grid(3)
+    scene = TetScene.from_grid(grid, coef=2.5)
+    params = scene.init_params()
+    # half-space occupancy: x<0 vertices fully occupied (alpha~1), the
+    # rest at alpha~0.6 — above every escalated carve threshold
+    # (delete_threshold*100 = 0.1), so carving is a no-op at all rungs
+    feat = np.full((scene.n_points, 4), 0.4, np.float32)  # alpha ~0.599
+    feat[scene.points_px3[:, 0] < 0.0, 0] = 12.0          # alpha ~1
+    params = {"feat": jnp.asarray(feat), "mov": params["mov"]}
+
+    alpha = 1.0 / (1.0 + np.exp(-feat[:, 0]))
+    flagged = int((alpha[scene.tets_tx4].min(axis=1) < 0.9).sum())
+    n0 = scene.n_tets
+    assert 0 < flagged < n0  # both branches of the selective split exist
+    est = 8 * flagged + (n0 - flagged)
+
+    cfg = RenderOptConfig(
+        tet_res=3, k=4, pixel_sampling=0.5, seed=0, tet_budget=est,
+    )
+    params = carve_and_subdivide(
+        scene, params, images, poses, hwf, i_val, cfg, log=None
+    )
+    # exactly the flagged band split 1->8; interior tets kept whole
+    assert scene.n_tets == est
+    assert n0 < scene.n_tets < 8 * n0
+    assert params["feat"].shape[0] == scene.n_points
