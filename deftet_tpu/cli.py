@@ -307,6 +307,10 @@ def render_main(argv=None) -> int:
                     default=True)
     hr.add_argument("--no_half_res", dest="half_res", action="store_false")
     parser.add_argument("--tetres", type=int, default=40)
+    parser.add_argument("--tet_file", default=None,
+                        help="quartet-format .tet grid file (overrides "
+                        "--tetres; the reference's diff_render scenes use "
+                        "quartet grids, dataloder_helper.py:36-43)")
     parser.add_argument("--tetcoef", type=float, default=2.5)
     parser.add_argument("--sublevel", type=int, default=2)
     parser.add_argument("--deletenum", type=int, default=1000)
@@ -359,7 +363,8 @@ def render_main(argv=None) -> int:
         ),
     )
     cfg = RenderOptConfig(
-        tet_res=args.tetres, coef=args.tetcoef, sublevels=args.sublevel,
+        tet_res=args.tetres, tet_file=args.tet_file,
+        coef=args.tetcoef, sublevels=args.sublevel,
         steps_fix=args.optfixnum, steps_mov=args.optmovnum,
         pixel_sampling=args.pixelsampling, lr_feat=args.lrfix,
         lr_mov=args.lrmov, delete_every=args.deletenum,

@@ -189,6 +189,11 @@ class RenderOptConfig:
     """Defaults from 6_optim/expconfig.py:12 + argparse defaults."""
 
     tet_res: int = 40
+    # Optional quartet-format .tet grid file; overrides tet_res.  The
+    # reference's diff_render scenes run on quartet-generated grids
+    # (e.g. cube_40_tet.tet behind the shipped lego artifact), not the
+    # regular Kuhn lattice — see dataloder_helper.py:36-43.
+    tet_file: Optional[str] = None
     coef: float = 2.5
     sublevels: int = 2
     steps_fix: int = 3000         # optfix
@@ -540,10 +545,14 @@ def run_pipeline(
     {mov, fix} stage pair, then subdivide.  Returns (scene, params,
     per-stage PSNR records)."""
     from ..tetgrid import build_tet_grid
+    from ..tetgrid.grid import read_tet_file
 
     cfg = cfg or RenderOptConfig()
     i_train, i_val, i_test = i_split
-    grid = build_tet_grid(cfg.tet_res)
+    if cfg.tet_file:
+        grid = read_tet_file(cfg.tet_file)
+    else:
+        grid = build_tet_grid(cfg.tet_res)
     scene = TetScene.from_grid(grid, coef=cfg.coef)
     params = scene.init_params()
     records: List[Dict] = []

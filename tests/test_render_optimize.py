@@ -294,6 +294,32 @@ def test_carve_and_subdivide_budget_paths():
     assert params2["feat"].shape[0] == scene.n_points
 
 
+def test_run_pipeline_from_tet_file(tmp_path):
+    """--tet_file parity path: the pipeline runs on a quartet-format
+    .tet grid instead of the built-in Kuhn lattice
+    (dataloder_helper.py:36-43 reads quartet grids the same way)."""
+    from deftet_tpu.tetgrid.grid import save_tet_file
+
+    grid = build_tet_grid(3)
+    path = str(tmp_path / "grid.tet")
+    save_tet_file(grid, path)
+
+    images, poses, hwf, splits = make_synthetic_scene(
+        n_views=3, height=16, width=16
+    )
+    cfg = RenderOptConfig(
+        tet_res=999, tet_file=path,  # tet_res must be ignored
+        sublevels=0, steps_fix=4, steps_mov=0,
+        pixel_sampling=0.5, k=4, delete_every=10_000, seed=0,
+    )
+    scene, params, records = run_pipeline(
+        images, poses, hwf, splits, cfg, log=None
+    )
+    assert scene.n_tets == grid.n_tets
+    assert params["feat"].shape[0] == grid.n_vertices
+    assert all(np.isfinite(r["mse"]) for r in records)
+
+
 def test_carve_and_subdivide_selective_band_split():
     """Pins escalation step 2: when no carve threshold can fit the
     budget (all alphas above the hardest escalated threshold) but the
