@@ -123,39 +123,49 @@ def make_synthetic_scene(
     focal = 0.5 * width / np.tan(0.5 * 0.69)
 
     grid = pixel_grid(height, width)
+    from functools import partial
+
+    from .camera import perspective
+    from .composite import peel2mask, vertex2face
+    from .raster import deftet_sparse_render
+
+    verts_j = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+    feat = np.concatenate(
+        [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits],
+        axis=1,
+    )
+    face_feat = vertex2face(
+        jax.nn.sigmoid(jnp.asarray(feat))[None], faces_j
+    )
+    pix = jnp.asarray(grid)[None]
+    rng_px2 = jnp.concatenate(
+        [jnp.full_like(pix[..., :1], -1000.0),
+         jnp.zeros_like(pix[..., :1])], axis=-1,
+    )
+
+    # One compiled program reused across views — per-op eager dispatch
+    # over a remote TPU tunnel costs minutes at 100 views.
+    @partial(jax.jit, static_argnames=())
+    def render_view(rot, pos, proj):
+        cam, xy = perspective(verts_j[None], rot, pos, proj)
+        face_z = vertex2face(cam[..., 2:3], faces_j)[..., 0]
+        face_img = vertex2face(xy, faces_j)
+        layers, _ = deftet_sparse_render(
+            pix, rng_px2, face_z, face_img, face_feat, k=4
+        )
+        color, vis, _ = peel2mask(layers)
+        return jnp.concatenate([color, vis], axis=-1)
+
     images, poses = [], []
     for i in range(n_views):
         theta = 360.0 * i / n_views
         c2w = pose_spherical(theta, -30.0, radius)
         poses.append(c2w)
         rot, pos, proj = camera_from_blender(c2w, focal, height, width)
-        from .camera import perspective
-        from .composite import peel2mask, vertex2face
-        from .raster import deftet_sparse_render
-
-        cam, xy = perspective(
-            jnp.asarray(verts)[None], jnp.asarray(rot), jnp.asarray(pos),
-            jnp.asarray(proj),
-        )
-        face_z = vertex2face(cam[..., 2:3], jnp.asarray(faces))[..., 0]
-        face_img = vertex2face(xy, jnp.asarray(faces))
-        feat = np.concatenate(
-            [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits],
-            axis=1,
-        )
-        feat = jax.nn.sigmoid(jnp.asarray(feat))
-        face_feat = vertex2face(feat[None], jnp.asarray(faces))
-        pix = jnp.asarray(grid)[None]
-        rng = jnp.concatenate(
-            [jnp.full_like(pix[..., :1], -1000.0),
-             jnp.zeros_like(pix[..., :1])], axis=-1,
-        )
-        layers, _ = deftet_sparse_render(
-            pix, rng, face_z, face_img, face_feat, k=4
-        )
-        color, vis, _ = peel2mask(layers)
-        img = np.concatenate(
-            [np.asarray(color), np.asarray(vis)], axis=-1
+        img = np.asarray(
+            render_view(jnp.asarray(rot), jnp.asarray(pos),
+                        jnp.asarray(proj))
         ).reshape(height, width, 4)
         images.append(img)
     images = np.stack(images).astype(np.float32)
@@ -327,6 +337,7 @@ def optimize_stage(
     log_every: int = 200,
     log: Optional[Callable[[str], None]] = print,
     lr_div: float = 1.0,
+    deadline: Optional[float] = None,
 ):
     """One {mov | fix} stage; re-jits whenever carving changes topology.
 
@@ -336,7 +347,12 @@ def optimize_stage(
     sublevel+1.  Without it the sub1+ grid-motion stages run at 2-3x the
     reference lr, which destabilizes held-out PSNR (the round-1 mov-stage
     regressions).
+
+    ``deadline`` (a ``time.monotonic()`` timestamp) ends the stage early
+    when wall-clock runs out — used by budgeted campaign drivers so a
+    long schedule degrades to fewer steps instead of a killed process.
     """
+    import time as _time
     weights = weights or DEFAULT_WEIGHTS
     h, w, focal = hwf
     gt_color, gt_mask = _white_composite(images)
@@ -356,6 +372,11 @@ def optimize_stage(
     n_pix = max(1, int(cfg.pixel_sampling * h * w))
     history = []
     for i in range(steps):
+        if deadline is not None and _time.monotonic() > deadline:
+            if log:
+                log(f"[{'mov' if gridmov else 'fix'}] deadline hit at "
+                    f"step {i}/{steps}; ending stage early")
+            break
         if i > 0 and (i % cfg.delete_every == cfg.delete_every - 1):
             if scene.carve(params, cfg.delete_threshold,
                            neighbor_levels=cfg.carve_dilation):

@@ -28,8 +28,17 @@ from ..tetgrid.topology import (
     build_tet_neighbors,
     build_vertex_adjacency,
 )
+import jax
+
 from .camera import perspective
 from .composite import render_mesh_color
+
+# Jitted once per (shapes, k, depth, chunk): untraced render_mesh_color
+# dispatches every op eagerly, which over a remote TPU tunnel turns a
+# full-frame eval (dozens of views x pixel chunks) into minutes of RTT.
+_render_mesh_color_jit = jax.jit(
+    render_mesh_color, static_argnames=("k", "depth", "chunk")
+)
 
 
 def build_render_faces(tets: np.ndarray, n_point: int) -> np.ndarray:
@@ -174,7 +183,7 @@ class TetScene:
             ],
             axis=-1,
         )
-        return render_mesh_color(
+        return _render_mesh_color_jit(
             pixel_xy_1xpx2,
             ranges,
             cam_pts,

@@ -1,0 +1,176 @@
+"""Deadline-budgeted 2D-supervision quality campaign (diff_render q6).
+
+Runs the staged {mov, fix} x sublevel schedule of
+reference optim_with_mask_subdiv_from_gridmov.py:486-521 on a 100-view
+synthetic scene, on the quartet-format grid the reference's diff_render
+artifacts actually use (cube_40_tet.tet — 47k tets, NOT the 384k-tet
+Kuhn lattice; see RESULTS.md "8x-too-heavy grid").
+
+Unlike `deftet-render`, this driver is wall-clock-budgeted: every stage
+gets a deadline, state is persisted after each stage, and records.json
+is rewritten incrementally — a timeout degrades to a shorter schedule
+instead of a lost run.
+
+Usage:
+    python scripts/render_campaign.py --outdir /tmp/render_q6 \
+        --budget_s 2000 --n_views 100 --image_size 128
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", default="/tmp/render_q6")
+    p.add_argument("--budget_s", type=float, default=2000.0,
+                   help="total wall budget incl. final eval/export")
+    p.add_argument("--reserve_s", type=float, default=180.0,
+                   help="wall reserved for the final eval + export")
+    p.add_argument("--n_views", type=int, default=100)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--tet_file",
+                   default="/root/reference/diff_render/diftet_6_subdiv/"
+                           "data/cube_40_tet.tet")
+    p.add_argument("--tetres", type=int, default=0,
+                   help="use a Kuhn lattice of this res instead of "
+                        "--tet_file (smoke runs)")
+    p.add_argument("--tetcoef", type=float, default=2.5)
+    p.add_argument("--sublevels", type=int, default=2)
+    p.add_argument("--steps_mov", type=int, default=2000)
+    p.add_argument("--steps_fix", type=int, default=3000)
+    p.add_argument("--pixel_sampling", type=float, default=0.2)
+    p.add_argument("--peel_k", type=int, default=120)
+    p.add_argument("--tet_budget", type=int, default=1_000_000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    t0 = time.monotonic()
+    hard_deadline = t0 + args.budget_s
+    stage_deadline_cap = hard_deadline - args.reserve_s
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    from deftet_tpu.render.optimize import (
+        DEFAULT_WEIGHTS,
+        RenderOptConfig,
+        evaluate_psnr,
+        export_turntable,
+        make_synthetic_scene,
+        optimize_stage,
+        carve_and_subdivide,
+    )
+    from deftet_tpu.render.scene import TetScene
+    from deftet_tpu.tetgrid.grid import read_tet_file
+
+    def log(msg):
+        print(f"[{time.monotonic() - t0:7.1f}s] {msg}", flush=True)
+
+    log(f"scene: {args.n_views} views @ {args.image_size}^2")
+    images, poses, hwf, i_split = make_synthetic_scene(
+        n_views=args.n_views, height=args.image_size,
+        width=args.image_size, seed=args.seed, coef=args.tetcoef,
+    )
+    i_train, i_val, i_test = i_split
+    log(f"split: {len(i_train)} train / {len(i_val)} val / "
+        f"{len(i_test)} test")
+
+    cfg = RenderOptConfig(
+        tet_file=args.tet_file if not args.tetres else None,
+        tet_res=args.tetres or 40, coef=args.tetcoef,
+        sublevels=args.sublevels, steps_fix=args.steps_fix,
+        steps_mov=args.steps_mov, pixel_sampling=args.pixel_sampling,
+        k=args.peel_k, tet_budget=args.tet_budget, seed=args.seed,
+    )
+    if cfg.tet_file:
+        grid = read_tet_file(cfg.tet_file)
+    else:
+        from deftet_tpu.tetgrid import build_tet_grid
+
+        grid = build_tet_grid(cfg.tet_res)
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+    log(f"grid: {scene.n_points} verts / {scene.n_tets} tets "
+        f"({cfg.tet_file})")
+
+    records = []
+
+    def flush_records(final=None):
+        payload = {"stages": records, "config": vars(args)}
+        if final is not None:
+            payload.update(final)
+        with open(os.path.join(args.outdir, "records.json"), "w") as f:
+            json.dump(payload, f, indent=2)
+
+    for sub in range(cfg.sublevels + 1):
+        for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
+            if steps <= 0:
+                continue
+            if time.monotonic() > stage_deadline_cap - 30:
+                log("out of stage budget; skipping remaining stages")
+                break
+            name = f"sub{sub}-{'mov' if gridmov else 'fix'}"
+            log(f"=== stage {name}: {steps} steps ===")
+            params, _ = optimize_stage(
+                scene, params, images, poses, hwf, i_train, cfg,
+                gridmov=gridmov, steps=steps, log=log,
+                lr_div=float(sub + 1), deadline=stage_deadline_cap,
+            )
+            mse, psnr = evaluate_psnr(
+                scene, params, images, poses, hwf, i_test, cfg
+            )
+            tr_mse, tr_psnr = evaluate_psnr(
+                scene, params, images, poses, hwf, i_train[:8], cfg
+            )
+            records.append(
+                {"stage": name, "mse": mse, "psnr": psnr,
+                 "train_psnr": tr_psnr, "n_tets": scene.n_tets,
+                 "wall_s": round(time.monotonic() - t0, 1)}
+            )
+            log(f"[{name}] test psnr={psnr:.2f} train psnr={tr_psnr:.2f} "
+                f"tets={scene.n_tets}")
+            scene.save_state(
+                os.path.join(args.outdir, f"state_{name}.npz"), params
+            )
+            flush_records()
+        else:
+            if sub < cfg.sublevels:
+                if time.monotonic() > stage_deadline_cap - 60:
+                    log("out of budget before subdivision; stopping")
+                    break
+                params = carve_and_subdivide(
+                    scene, params, images, poses, hwf, i_val[:4], cfg,
+                    log=log,
+                )
+                log(f"subdivided -> {scene.n_tets} tets")
+            continue
+        break
+
+    mse, psnr = evaluate_psnr(scene, params, images, poses, hwf, i_test, cfg)
+    log(f"FINAL test mse={mse:.5f} psnr={psnr:.3f} tets={scene.n_tets}")
+    flush_records({"final_mse": mse, "final_psnr": psnr,
+                   "final_tets": scene.n_tets})
+    scene.save_state(os.path.join(args.outdir, "state_final.npz"), params)
+    try:
+        scene.save_surface_obj(
+            params, os.path.join(args.outdir, "surface.obj")
+        )
+        export_turntable(
+            scene, params, hwf, cfg,
+            os.path.join(args.outdir,
+                         f"rgb-mse{mse:.4f}-psnr{psnr:.2f}.gif"),
+        )
+    except Exception as e:  # export is best-effort under the deadline
+        log(f"export failed: {e}")
+    print(json.dumps({"final_psnr": psnr, "final_mse": mse,
+                      "stages": records}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
