@@ -48,6 +48,15 @@ def main() -> int:
     p.add_argument("--peel_k", type=int, default=120)
     p.add_argument("--tet_budget", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="state_*.npz from a prior run; continues from "
+                        "that topology+params")
+    p.add_argument("--start_sublevel", type=int, default=0,
+                   help="first sublevel to run (lr decay uses the true "
+                        "sublevel index)")
+    p.add_argument("--subdivide_first", action="store_true",
+                   help="with --resume: carve+subdivide before the first "
+                        "stage (resume was taken at the end of a sublevel)")
     args = p.parse_args()
 
     t0 = time.monotonic()
@@ -87,18 +96,28 @@ def main() -> int:
         steps_mov=args.steps_mov, pixel_sampling=args.pixel_sampling,
         k=args.peel_k, tet_budget=args.tet_budget, seed=args.seed,
     )
-    if cfg.tet_file:
-        grid = read_tet_file(cfg.tet_file)
+    if args.resume:
+        scene, params = TetScene.load_state(args.resume)
+        log(f"resumed {args.resume}: {scene.n_points} verts / "
+            f"{scene.n_tets} tets")
     else:
-        from deftet_tpu.tetgrid import build_tet_grid
+        if cfg.tet_file:
+            grid = read_tet_file(cfg.tet_file)
+        else:
+            from deftet_tpu.tetgrid import build_tet_grid
 
-        grid = build_tet_grid(cfg.tet_res)
-    scene = TetScene.from_grid(grid, coef=cfg.coef)
-    params = scene.init_params()
-    log(f"grid: {scene.n_points} verts / {scene.n_tets} tets "
-        f"({cfg.tet_file})")
+            grid = build_tet_grid(cfg.tet_res)
+        scene = TetScene.from_grid(grid, coef=cfg.coef)
+        params = scene.init_params()
+        log(f"grid: {scene.n_points} verts / {scene.n_tets} tets "
+            f"({cfg.tet_file})")
 
     records = []
+    if args.resume and args.subdivide_first:
+        params = carve_and_subdivide(
+            scene, params, images, poses, hwf, i_val[:4], cfg, log=log
+        )
+        log(f"subdivided -> {scene.n_tets} tets")
 
     def flush_records(final=None):
         payload = {"stages": records, "config": vars(args)}
@@ -107,7 +126,7 @@ def main() -> int:
         with open(os.path.join(args.outdir, "records.json"), "w") as f:
             json.dump(payload, f, indent=2)
 
-    for sub in range(cfg.sublevels + 1):
+    for sub in range(args.start_sublevel, cfg.sublevels + 1):
         for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
             if steps <= 0:
                 continue
