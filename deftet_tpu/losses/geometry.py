@@ -14,6 +14,7 @@ Bit-for-intent ports of layers/DefTet/deftet.py:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import det3x3, tet_edge_matrix
@@ -53,7 +54,10 @@ def amips_energy(
     """AMIPS distortion energy averaged over tets, per batch element."""
     offset = tet_edge_matrix(tet_bxtx4x3, scale=scale)  # (B, T, 3, 3)
     jac = jnp.einsum(
-        "btij,tjk->btik", offset, rest_inverse_tx3x3
+        "btij,tjk->btik",
+        offset,
+        rest_inverse_tx3x3,
+        precision=jax.lax.Precision.HIGHEST,
     )
     trace = jnp.sum(jac * jac, axis=(-1, -2))
     det = det3x3(jac)

@@ -112,7 +112,11 @@ def project_points(points_bxnx3, camera_matrix_bx4x4):
     """Row-vector projection to [-1, 1] screen space (disn.py:252-270)."""
     ones = jnp.ones(points_bxnx3.shape[:-1] + (1,), points_bxnx3.dtype)
     homo = jnp.concatenate([points_bxnx3, ones], axis=-1)
-    proj = jnp.matmul(homo, camera_matrix_bx4x4)
+    # geometry-critical: bf16 matmul jitter would misplace the sampling
+    # footprint on the feature maps (same failure class as render/camera).
+    proj = jnp.matmul(
+        homo, camera_matrix_bx4x4, precision=jax.lax.Precision.HIGHEST
+    )
     proj = proj / proj[..., 2:3]
     return proj[..., :2]
 

@@ -170,6 +170,55 @@ def nn_pallas_single(
     return d2.reshape(-1)[:p], idx.reshape(-1)[:p]
 
 
+# Max reference points resident in VMEM at once.  The (M, 3) refs block
+# is (8, 128)-tile padded, so its VMEM footprint is M*128*4 bytes — 8MB
+# at 16384 — against the 16MB scoped-vmem limit (queries + output blocks
+# take the rest).  Larger clouds scan VMEM-sized chunks below.
+_M_RESIDENT_CAP = 16384
+
+
+def _nn_single_scan_refs(
+    query_px3, refs_mx3, n_valid, n_queries, tile_p, m_chunk, interpret
+):
+    """nn_pallas_single over reference-cloud chunks, mins merged.
+
+    The eval harness's 100k-point chamfer protocol passes M ~ 100k,
+    whose (M, 3) lane-padded VMEM block (M*128*4 bytes) blows the 16MB
+    scoped-vmem limit — observed as a Mosaic stack OOM at compile time.
+    Queries are re-read per chunk ((3, P) is ~1MB; negligible)."""
+    m = refs_mx3.shape[0]
+    n_ch = -(-m // _M_RESIDENT_CAP)
+    refs_pad = _pad_to(refs_mx3, 0, _M_RESIDENT_CAP)
+    chunks = refs_pad.reshape(n_ch, _M_RESIDENT_CAP, 3)
+    starts = jnp.arange(n_ch, dtype=jnp.int32) * _M_RESIDENT_CAP
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        ref_chunk, start = inp
+        nv = jnp.clip(
+            jnp.asarray(n_valid, jnp.int32) - start, 0, _M_RESIDENT_CAP
+        )
+        d, i = nn_pallas_single(
+            query_px3, ref_chunk, nv, n_queries,
+            tile_p=tile_p, m_chunk=m_chunk, interpret=interpret,
+        )
+        # fully-masked chunks return _BIG distances: never taken
+        i = i + start
+        take = d < best_d
+        return (
+            jnp.where(take, d, best_d),
+            jnp.where(take, i, best_i),
+        ), None
+
+    p = query_px3.shape[0]
+    init = (
+        jnp.full((p,), _BIG, jnp.float32),
+        jnp.zeros((p,), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(body, init, (chunks, starts))
+    return best_d, best_i
+
+
 def nearest_neighbor_pallas(
     query_bxpx3: jnp.ndarray,
     points_bxmx3: jnp.ndarray,
@@ -188,12 +237,15 @@ def nearest_neighbor_pallas(
         n_valid = jnp.full(q.shape[0], r.shape[1], dtype=jnp.int32)
     if n_queries is None:
         n_queries = jnp.full(q.shape[0], q.shape[1], dtype=jnp.int32)
+    if r.shape[1] > _M_RESIDENT_CAP:
+        single = lambda args: _nn_single_scan_refs(  # noqa: E731
+            *args, tile_p=tile_p, m_chunk=m_chunk, interpret=interpret
+        )
+    else:
+        single = lambda args: nn_pallas_single(  # noqa: E731
+            *args, tile_p=tile_p, m_chunk=m_chunk, interpret=interpret
+        )
     # lax.map (sequential over batch) rather than vmap: Mosaic requires
     # the last two block dims to be (8, 128)-tileable, which a vmapped
     # size-1 batch block dimension violates for 1/2-D outputs.
-    return jax.lax.map(
-        lambda args: nn_pallas_single(
-            *args, tile_p=tile_p, m_chunk=m_chunk, interpret=interpret
-        ),
-        (q, r, n_valid, n_queries),
-    )
+    return jax.lax.map(single, (q, r, n_valid, n_queries))

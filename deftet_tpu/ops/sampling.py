@@ -38,7 +38,13 @@ def _pairwise_sqdist(a_bxmx3: jnp.ndarray, b_bxnx3: jnp.ndarray) -> jnp.ndarray:
     d = (
         jnp.sum(a_bxmx3 * a_bxmx3, axis=-1)[:, :, None]
         + jnp.sum(b_bxnx3 * b_bxnx3, axis=-1)[:, None, :]
-        - 2.0 * jnp.einsum("bmc,bnc->bmn", a_bxmx3, b_bxnx3)
+        - 2.0
+        * jnp.einsum(
+            "bmc,bnc->bmn",
+            a_bxmx3,
+            b_bxnx3,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
     return jnp.maximum(d, 0.0)
 

@@ -8,6 +8,7 @@ Behavioural port of diff_render/diftet_6_subdiv/3_model/cameraop.py:19-34
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,7 +21,15 @@ def perspective(points_bxpx3, camera_rot_bx3x3, camera_pos_bx3, camera_proj_3):
     tensor (cameraop.py:28-32).
     """
     p = points_bxpx3 - camera_pos_bx3[:, None, :]
-    p = jnp.matmul(p, jnp.swapaxes(camera_rot_bx3x3, 1, 2))
+    # HIGHEST precision: the TPU default (bf16 multiply) injects ~1e-2
+    # absolute jitter into camera-space coords, i.e. ~0.8 px of random
+    # per-vertex noise at 128^2 — fatal once subdivided triangles shrink
+    # to ~1 px (measured: test PSNR 30 -> 8 on a post-subdivision scene).
+    p = jnp.matmul(
+        p,
+        jnp.swapaxes(camera_rot_bx3x3, 1, 2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     xyz = p * camera_proj_3.reshape(1, 1, 3)
     xy = xyz[..., :2] / xyz[..., 2:3]
     return p, xy

@@ -123,8 +123,6 @@ def make_synthetic_scene(
     focal = 0.5 * width / np.tan(0.5 * 0.69)
 
     grid = pixel_grid(height, width)
-    from functools import partial
-
     from .camera import perspective
     from .composite import peel2mask, vertex2face
     from .raster import deftet_sparse_render
@@ -146,7 +144,7 @@ def make_synthetic_scene(
 
     # One compiled program reused across views — per-op eager dispatch
     # over a remote TPU tunnel costs minutes at 100 views.
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def render_view(rot, pos, proj):
         cam, xy = perspective(verts_j[None], rot, pos, proj)
         face_z = vertex2face(cam[..., 2:3], faces_j)[..., 0]
@@ -189,6 +187,125 @@ def make_synthetic_scene(
         i_val = i_test
     splits = [i_train, i_val, i_test]
     return images, poses, (height, width, focal), splits
+
+
+def make_nerf_protocol_scene(
+    n_train: int = 100,
+    n_test_pool: int = 200,
+    testskip: int = 8,
+    n_val: int = 8,
+    height: int = 400,
+    width: int = 400,
+    radius: float = 4.0,
+    seed: int = 0,
+    coef: float = 2.5,
+    camera_angle_x: float = 0.6911112,
+    elevation_range: Tuple[float, float] = (-80.0, -5.0),
+    pix_chunk: int = 20000,
+    n_shapes: int = 3,
+    gt_k: int = 16,
+):
+    """Procedural GT at the NeRF-synthetic capture protocol.
+
+    Matches the protocol of the reference's training data loader
+    (2_data/load_blender.py): 400x400 frames (the half-res of the 800^2
+    captures, :101-113), RGBA images whose consumer composites onto a
+    white background, camera_angle_x-derived focal (:91-92), spherical
+    poses with varying elevation (the blender train split samples random
+    upper-hemisphere poses; pose_spherical :45-52), 100 train views, and
+    a 200-pose test pool consumed every ``testskip`` (the loader's
+    testskip knob, :70-74).  The scene content is procedural (no
+    NeRF-synthetic data ships on this machine): a union of ``n_shapes``
+    random closed meshes with position-varying vertex colors, rendered
+    to GT through this renderer at a deep peel budget.
+
+    Returns the `load_blender` interface: (images (N,H,W,4), poses,
+    (H,W,focal), [i_train, i_val, i_test]).
+    """
+    from ..data.shapes import random_shape
+
+    rng = np.random.default_rng(seed)
+
+    verts_list, faces_list, offset = [], [], 0
+    for s in range(n_shapes):
+        v, f = random_shape(seed * 31 + s, level=3)
+        scale = 0.45 + 0.25 * rng.random()
+        center = rng.uniform(-0.45, 0.45, size=3)
+        center[2] = abs(center[2]) * 0.5  # keep the union near the origin
+        v = v * scale + center
+        verts_list.append(v)
+        faces_list.append(np.asarray(f) + offset)
+        offset += v.shape[0]
+    verts = np.concatenate(verts_list).astype(np.float32)
+    # recenter + fit the union into the tet-grid's world box
+    verts -= (verts.max(0) + verts.min(0)) / 2.0
+    verts *= 0.95 / np.abs(verts).max()
+    faces = np.concatenate(faces_list).astype(np.int32)
+    verts = (verts * coef).astype(np.float32)
+    # position-varying colors, distinct phase per shape
+    phase = np.concatenate(
+        [np.full((v.shape[0], 3), rng.uniform(-1.5, 1.5, 3), np.float32)
+         for v in verts_list]
+    )
+    color_logits = np.tanh(np.sin(verts * 2.5 + phase) * 2.0) * 3.0
+    focal = 0.5 * width / np.tan(0.5 * camera_angle_x)
+
+    def draw_poses(n):
+        thetas = rng.uniform(-180.0, 180.0, size=n)
+        phis = rng.uniform(elevation_range[0], elevation_range[1], size=n)
+        return [pose_spherical(t, p, radius) for t, p in zip(thetas, phis)]
+
+    train_poses = draw_poses(n_train)
+    val_poses = draw_poses(n_val)
+    test_poses = draw_poses(n_test_pool)[::testskip]
+    poses = np.stack(train_poses + val_poses + test_poses).astype(np.float32)
+    i_train = np.arange(n_train)
+    i_val = np.arange(n_train, n_train + n_val)
+    i_test = np.arange(n_train + n_val, poses.shape[0])
+
+    from .camera import perspective
+    from .composite import peel2mask, vertex2face
+    from .raster import deftet_sparse_render
+
+    verts_j = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+    feat = np.concatenate(
+        [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits], axis=1
+    )
+    face_feat = vertex2face(jax.nn.sigmoid(jnp.asarray(feat))[None], faces_j)
+
+    grid = pixel_grid(height, width)
+    n_pix = grid.shape[0]
+    pad = (-n_pix) % pix_chunk
+    grid_p = np.concatenate([grid, np.zeros((pad, 2), np.float32)])
+    chunks = grid_p.reshape(-1, pix_chunk, 2)
+
+    @jax.jit
+    def render_chunk(pix_1xpx2, rot, pos, proj):
+        rng_px2 = jnp.concatenate(
+            [jnp.full_like(pix_1xpx2[..., :1], -1000.0),
+             jnp.zeros_like(pix_1xpx2[..., :1])], axis=-1,
+        )
+        cam, xy = perspective(verts_j[None], rot, pos, proj)
+        face_z = vertex2face(cam[..., 2:3], faces_j)[..., 0]
+        face_img = vertex2face(xy, faces_j)
+        layers, _ = deftet_sparse_render(
+            pix_1xpx2, rng_px2, face_z, face_img, face_feat, k=gt_k
+        )
+        color, vis, _ = peel2mask(layers)
+        return jnp.concatenate([color, vis], axis=-1)
+
+    images = []
+    for c2w in poses:
+        rot, pos, proj = camera_from_blender(c2w, focal, height, width)
+        rot, pos, proj = jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj)
+        parts = [np.asarray(render_chunk(jnp.asarray(ch)[None], rot, pos,
+                                         proj))[0]
+                 for ch in chunks]
+        img = np.concatenate(parts, axis=0)[:n_pix]
+        images.append(img.reshape(height, width, 4))
+    images = np.stack(images).astype(np.float32)
+    return images, poses, (height, width, focal), [i_train, i_val, i_test]
 
 
 # --------------------------------------------------------------------------
@@ -338,8 +455,15 @@ def optimize_stage(
     log: Optional[Callable[[str], None]] = print,
     lr_div: float = 1.0,
     deadline: Optional[float] = None,
+    video_path: Optional[str] = None,
+    video_every: int = 200,
 ):
     """One {mov | fix} stage; re-jits whenever carving changes topology.
+
+    ``video_path`` (optional .mp4/.gif) writes a convergence video of the
+    first train view, one frame per ``video_every`` steps plus the final
+    state — the reference's per-stage training videos
+    (optim_with_mask_subdiv_from_gridmov.py:330-384).
 
     ``lr_div`` divides both Adam learning rates — the reference decays
     lr per sublevel (lr_fix/(i+1), lr_mov/(i+1),
@@ -371,6 +495,16 @@ def optimize_stage(
 
     n_pix = max(1, int(cfg.pixel_sampling * h * w))
     history = []
+    video_frames = []
+
+    def _snap():
+        color, _ = render_full_image(
+            scene, params, poses[int(i_train[0])], hwf, cfg
+        )
+        video_frames.append(
+            (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
+        )
+
     for i in range(steps):
         if deadline is not None and _time.monotonic() > deadline:
             if log:
@@ -403,6 +537,11 @@ def optimize_stage(
                 f"mask={float(aux['loss_mask']):.4f}"
             )
         history.append(float(aux["total"]))
+        if video_path and (i % video_every == 0):
+            _snap()
+    if video_path:
+        _snap()
+        write_video(video_frames, video_path, fps=8)
     return params, history
 
 
@@ -447,6 +586,35 @@ def evaluate_psnr(
     return mse, psnr
 
 
+def write_video(frames_u8, path: str, fps: int = 8) -> str:
+    """Write frames to ``path`` — mp4 (OpenCV mp4v; this image ships no
+    ffmpeg CLI) or GIF (imageio) by extension.  Matches the reference's
+    imageio.mimwrite mp4 export (optim...py:330-384).  Returns the path
+    actually written (falls back to .gif if the mp4 encoder is
+    unavailable)."""
+    frames_u8 = [np.ascontiguousarray(f) for f in frames_u8]
+    if path.endswith(".mp4"):
+        try:
+            import cv2
+
+            h, w = frames_u8[0].shape[:2]
+            vw = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            if vw.isOpened():
+                for f in frames_u8:
+                    vw.write(f[..., ::-1])  # RGB -> BGR
+                vw.release()
+                return path
+        except ImportError:
+            pass
+        path = path[:-4] + ".gif"
+    import imageio.v2 as imageio
+
+    imageio.mimwrite(path, list(frames_u8), fps=fps)
+    return path
+
+
 def export_turntable(
     scene: TetScene,
     params,
@@ -456,12 +624,11 @@ def export_turntable(
     n_frames: int = 24,
     radius: float = 3.5,
     phi: float = -30.0,
+    fps: int = 8,
 ):
-    """Render a circular camera path and write an animated GIF (the video
-    export of optim...py:330-384; GIF because this environment ships no
-    ffmpeg backend).  Returns the frame array (N, H, W, 3) uint8."""
-    import imageio.v2 as imageio
-
+    """Render a circular camera path and write it as a video — mp4 or
+    GIF by extension (the video export of optim...py:330-384).  Returns
+    the frame array (N, H, W, 3) uint8."""
     frames = []
     for i in range(n_frames):
         pose = pose_spherical(360.0 * i / n_frames, phi, radius)
@@ -470,7 +637,7 @@ def export_turntable(
             (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
         )
     frames = np.stack(frames)
-    imageio.mimwrite(path, list(frames), fps=8)
+    write_video(frames, path, fps=fps)
     return frames
 
 

@@ -90,6 +90,11 @@ class TetScene:
 
     def refresh_topology(self) -> None:
         n = self.n_points
+        # Every carve/subdivision changes the face-count shape, so cached
+        # executables for the old topology are dead weight; a long staged
+        # campaign would otherwise accumulate unbounded compile-cache
+        # entries in the module-level jit.
+        _render_mesh_color_jit.clear_cache()
         self.faces_fx3 = build_render_faces(self.tets_tx4, n)
         self.adj_idx, self.adj_mask, self.adj_deg = build_vertex_adjacency(
             self.tets_tx4, n

@@ -34,9 +34,18 @@ def main() -> int:
                    help="wall reserved for the final eval + export")
     p.add_argument("--n_views", type=int, default=100)
     p.add_argument("--image_size", type=int, default=128)
-    p.add_argument("--tet_file",
-                   default="/root/reference/diff_render/diftet_6_subdiv/"
-                           "data/cube_40_tet.tet")
+    p.add_argument("--scene", choices=("orbit", "nerf"), default="orbit",
+                   help="orbit: single-elevation orbit (legacy); nerf: the "
+                        "NeRF-synthetic capture protocol (elevation-spread "
+                        "poses, 200-pose test pool consumed per --testskip)")
+    p.add_argument("--testskip", type=int, default=8)
+    p.add_argument("--blender_dir", default=None,
+                   help="load a real NeRF-synthetic scene from this dir "
+                        "instead of the procedural GT")
+    p.add_argument("--tet_file", default=None,
+                   help="quartet-format .tet grid; default: the reference "
+                        "checkout's cube_40_tet.tet if present, else a "
+                        "Kuhn lattice of --tetres (default 40)")
     p.add_argument("--tetres", type=int, default=0,
                    help="use a Kuhn lattice of this res instead of "
                         "--tet_file (smoke runs)")
@@ -57,7 +66,24 @@ def main() -> int:
     p.add_argument("--subdivide_first", action="store_true",
                    help="with --resume: carve+subdivide before the first "
                         "stage (resume was taken at the end of a sublevel)")
+    p.add_argument("--start_phase", choices=("mov", "fix"), default="mov",
+                   help="with --resume: skip the mov stage of the first "
+                        "sublevel (resume was taken at the end of its mov)")
+    p.add_argument("--stage_videos", action="store_true",
+                   help="write a per-stage convergence mp4 (first train "
+                        "view, one frame / 200 steps) to the outdir")
+    p.add_argument("--scene_cache", default="auto",
+                   help="npz path for the generated GT scene; 'auto' = "
+                        "<outdir>/scene_cache.npz, 'none' disables. "
+                        "Regenerating 100 views on the remote TPU costs "
+                        "~9 min per resume; the cache makes it one-time.")
     args = p.parse_args()
+
+    if args.tet_file is None and not args.tetres:
+        ref_tet = ("/root/reference/diff_render/diftet_6_subdiv/"
+                   "data/cube_40_tet.tet")
+        if os.path.exists(ref_tet):
+            args.tet_file = ref_tet
 
     t0 = time.monotonic()
     hard_deadline = t0 + args.budget_s
@@ -66,10 +92,11 @@ def main() -> int:
     os.makedirs(args.outdir, exist_ok=True)
 
     from deftet_tpu.render.optimize import (
-        DEFAULT_WEIGHTS,
         RenderOptConfig,
         evaluate_psnr,
         export_turntable,
+        load_blender,
+        make_nerf_protocol_scene,
         make_synthetic_scene,
         optimize_stage,
         carve_and_subdivide,
@@ -80,11 +107,40 @@ def main() -> int:
     def log(msg):
         print(f"[{time.monotonic() - t0:7.1f}s] {msg}", flush=True)
 
-    log(f"scene: {args.n_views} views @ {args.image_size}^2")
-    images, poses, hwf, i_split = make_synthetic_scene(
-        n_views=args.n_views, height=args.image_size,
-        width=args.image_size, seed=args.seed, coef=args.tetcoef,
-    )
+    log(f"scene: {args.scene} {args.n_views} views @ {args.image_size}^2")
+    cache = (os.path.join(args.outdir, "scene_cache.npz")
+             if args.scene_cache == "auto" else args.scene_cache)
+    if args.blender_dir:
+        images, poses, hwf, i_split = load_blender(args.blender_dir)
+    elif cache != "none" and os.path.exists(cache):
+        import numpy as np
+
+        z = np.load(cache)
+        images, poses = z["images"], z["poses"]
+        hwf = (int(z["hwf"][0]), int(z["hwf"][1]), float(z["hwf"][2]))
+        i_split = [z["i_train"], z["i_val"], z["i_test"]]
+        log(f"scene loaded from cache {cache}")
+    else:
+        if args.scene == "nerf":
+            images, poses, hwf, i_split = make_nerf_protocol_scene(
+                n_train=args.n_views, testskip=args.testskip,
+                height=args.image_size, width=args.image_size,
+                seed=args.seed, coef=args.tetcoef,
+            )
+        else:
+            images, poses, hwf, i_split = make_synthetic_scene(
+                n_views=args.n_views, height=args.image_size,
+                width=args.image_size, seed=args.seed, coef=args.tetcoef,
+            )
+        if cache != "none":
+            import numpy as np
+
+            np.savez_compressed(
+                cache, images=images, poses=poses,
+                hwf=np.asarray(hwf, np.float64), i_train=i_split[0],
+                i_val=i_split[1], i_test=i_split[2],
+            )
+            log(f"scene cached to {cache}")
     i_train, i_val, i_test = i_split
     log(f"split: {len(i_train)} train / {len(i_val)} val / "
         f"{len(i_test)} test")
@@ -113,6 +169,17 @@ def main() -> int:
             f"({cfg.tet_file})")
 
     records = []
+    if args.resume:
+        # Seed from the prior run's records so flush_records doesn't
+        # silently discard the stages this resume is continuing from.
+        prior = os.path.join(args.outdir, "records.json")
+        if os.path.exists(prior):
+            try:
+                with open(prior) as f:
+                    records = list(json.load(f).get("stages", []))
+                log(f"seeded {len(records)} prior stage records")
+            except (json.JSONDecodeError, OSError) as e:
+                log(f"could not seed prior records: {e}")
     if args.resume and args.subdivide_first:
         params = carve_and_subdivide(
             scene, params, images, poses, hwf, i_val[:4], cfg, log=log
@@ -130,6 +197,9 @@ def main() -> int:
         for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
             if steps <= 0:
                 continue
+            if (gridmov and sub == args.start_sublevel
+                    and args.start_phase == "fix"):
+                continue
             if time.monotonic() > stage_deadline_cap - 30:
                 log("out of stage budget; skipping remaining stages")
                 break
@@ -139,6 +209,8 @@ def main() -> int:
                 scene, params, images, poses, hwf, i_train, cfg,
                 gridmov=gridmov, steps=steps, log=log,
                 lr_div=float(sub + 1), deadline=stage_deadline_cap,
+                video_path=(os.path.join(args.outdir, f"video_{name}.mp4")
+                            if args.stage_videos else None),
             )
             mse, psnr = evaluate_psnr(
                 scene, params, images, poses, hwf, i_test, cfg
@@ -179,11 +251,15 @@ def main() -> int:
         scene.save_surface_obj(
             params, os.path.join(args.outdir, "surface.obj")
         )
-        export_turntable(
+        frames = export_turntable(
             scene, params, hwf, cfg,
             os.path.join(args.outdir,
-                         f"rgb-mse{mse:.4f}-psnr{psnr:.2f}.gif"),
+                         f"rgb-mse{mse:.4f}-psnr{psnr:.2f}.mp4"),
         )
+        from deftet_tpu.render.optimize import write_video
+
+        write_video(frames, os.path.join(
+            args.outdir, f"rgb-mse{mse:.4f}-psnr{psnr:.2f}.gif"))
     except Exception as e:  # export is best-effort under the deadline
         log(f"export failed: {e}")
     print(json.dumps({"final_psnr": psnr, "final_mse": mse,

@@ -310,6 +310,27 @@ def test_pallas_nn_matches_xla_interpret():
     )
 
 
+def test_pallas_nn_big_reference_cloud(monkeypatch):
+    """M past the VMEM residency cap takes the ref-chunk scan path (the
+    100k-point eval protocol blew the 16MB scoped-vmem limit before)."""
+    from deftet_tpu.ops import nearest_pallas
+    from deftet_tpu.ops.nearest import nearest_neighbor
+
+    monkeypatch.setattr(nearest_pallas, "_M_RESIDENT_CAP", 512)
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 700, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-1, 1, (2, 1300, 3)).astype(np.float32))
+    nv = jnp.asarray([1300, 600], jnp.int32)  # 600: masked tail spans
+    d_ref, i_ref = nearest_neighbor(q, r, nv, use_pallas=False)
+    d_pal, i_pal = nearest_pallas.nearest_neighbor_pallas(
+        q, r, nv, tile_p=256, m_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pal))
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_pal), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_tri_argmin_matches_xla_interpret():
     from deftet_tpu.ops.tri_distance import (
         point_to_mesh_squared_distance,

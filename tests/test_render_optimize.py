@@ -131,6 +131,44 @@ def test_surface_obj_and_turntable(tmp_path):
     assert frames.shape == (3, 16, 16, 3)
     assert gif.exists() and gif.stat().st_size > 0
 
+    mp4 = tmp_path / "turn.mp4"
+    export_turntable(scene, params, (16, 16, 20.0), cfg, str(mp4),
+                     n_frames=3)
+    assert mp4.exists() and mp4.stat().st_size > 0
+
+
+def test_write_video_mp4_roundtrip(tmp_path):
+    from deftet_tpu.render.optimize import write_video
+
+    frames = (np.random.default_rng(0).random((4, 32, 32, 3)) * 255
+              ).astype(np.uint8)
+    path = write_video(frames, str(tmp_path / "v.mp4"), fps=4)
+    assert path.endswith(".mp4")
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+
+
+def test_optimize_stage_convergence_video(tmp_path):
+    images, poses, hwf, (i_train, _, _) = make_synthetic_scene(
+        n_views=3, height=16, width=16
+    )
+    cfg = RenderOptConfig(
+        tet_res=3, sublevels=0, pixel_sampling=0.5, k=4,
+        delete_every=10_000, seed=0,
+    )
+    grid = build_tet_grid(cfg.tet_res)
+    scene = TetScene.from_grid(grid, coef=cfg.coef)
+    params = scene.init_params()
+    vid = tmp_path / "stage.mp4"
+    optimize_stage(
+        scene, params, images, poses, hwf, i_train, cfg,
+        gridmov=False, steps=5, log=None,
+        video_path=str(vid), video_every=2,
+    )
+    assert vid.exists() and vid.stat().st_size > 0
+
 
 def test_render_cli_end_to_end(tmp_path):
     """deftet-render with a micro procedural scene: runs the staged

@@ -138,6 +138,145 @@ def test_data_parallel_8_devices(tiny_dataset, tmp_path):
     assert np.isfinite(float(terms["total"]))
 
 
+def _stacked_batch(dataset, n):
+    items = [dataset[i % len(dataset)] for i in range(n)]
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def _engines_on_meshes(tiny_dataset, tmp_path, meshes, batch_size,
+                       **cfg_over):
+    """Engines with identical params (same seed) on different meshes."""
+    engines = []
+    for i, mesh in enumerate(meshes):
+        cfg = TrainConfig(
+            logdir=str(tmp_path / f"m{i}"), seed=7,
+            **{**TINY, "batch_size": batch_size, **cfg_over},
+        )
+        engines.append(Engine(cfg, mesh=mesh))
+    return engines
+
+
+def _loss_and_grads(e, batch, rng):
+    """Loss terms + gradient pytree of the full training objective, run
+    as one jitted SPMD program on the engine's mesh (batch sharded,
+    params replicated — the layout `make_train_step` uses)."""
+    from deftet_tpu.train.step import forward_losses
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if e.state.batch_stats:
+            variables["batch_stats"] = e.state.batch_stats
+        total, (terms, _) = forward_losses(
+            e.model, variables, batch, e.statics, e.config, rng,
+            train=True, lattice_offsets=e._lattice_offsets,
+            tet_lattice=e._tet_lattice, face_lattice=e._face_lattice,
+        )
+        return total, terms
+
+    (total, terms), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(e.state.params)
+    terms = dict(terms)
+    terms["total"] = total
+    return terms, grads
+
+
+def _assert_grads_close(g_ref, g_test, rtol, atol):
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_test = jax.tree_util.tree_leaves(g_test)
+    assert len(flat_ref) == len(flat_test) and flat_ref
+    for (path, a), b in zip(flat_ref, flat_test):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"grad {jax.tree_util.keystr(path)} diverges",
+        )
+
+
+def test_sharded_equals_single_device(tiny_dataset, tmp_path):
+    """The correctness contract of data parallelism: the SAME batch with
+    the SAME rng produces the same losses and the same gradients on
+    1 device as on the 8-device data mesh (the implicit NCCL-allreduce
+    contract of train_multigpu.py:136-140).  f32 so the only differences
+    are collective reduction order.  Gradients — not post-Adam params —
+    are the contract: Adam's first-step normalization rescales every
+    element to ~lr, amplifying reduction-order noise on near-zero
+    gradient elements to full lr-sized param differences."""
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 8
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    mesh8 = Mesh(np.asarray(jax.devices()), ("data",))
+    e1, e8 = _engines_on_meshes(
+        tiny_dataset, tmp_path, [mesh1, mesh8], batch_size=8,
+        precision="f32",
+    )
+    batch = _stacked_batch(tiny_dataset, 8)
+    rng = jax.random.PRNGKey(3)
+
+    b8 = e8._prep_batch(batch)
+    assert len(b8["surface_points"].sharding.device_set) == 8
+
+    t1, g1 = _loss_and_grads(e1, e1._prep_batch(batch), rng)
+    t8, g8 = _loss_and_grads(e8, b8, rng)
+
+    for k in t1:
+        np.testing.assert_allclose(
+            float(t1[k]), float(t8[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"loss term {k} diverges between 1 and 8 devices",
+        )
+    _assert_grads_close(g1, g8, rtol=2e-3, atol=1e-5)
+
+
+def test_2d_mesh_equals_1d_mesh(tiny_dataset, tmp_path):
+    """A 2-D (data x space) mesh — surface-point axis sharded on `space`
+    — must reduce to the same losses/gradients as the 1-D data mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh1d = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    mesh2d = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "space"))
+    e1, e2 = _engines_on_meshes(
+        tiny_dataset, tmp_path, [mesh1d, mesh2d], batch_size=4,
+        precision="f32",
+    )
+    batch = _stacked_batch(tiny_dataset, 4)
+    rng = jax.random.PRNGKey(5)
+
+    b1 = e1._prep_batch(batch)
+    b2 = e2._prep_batch(batch)
+    b2["surface_points"] = jax.device_put(
+        b2["surface_points"], NamedSharding(mesh2d, P("data", "space", None))
+    )
+    t1, g1 = _loss_and_grads(e1, b1, rng)
+    t2, g2 = _loss_and_grads(e2, b2, rng)
+    for k in t1:
+        np.testing.assert_allclose(
+            float(t1[k]), float(t2[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"loss term {k} diverges between 1-D and 2-D meshes",
+        )
+    _assert_grads_close(g1, g2, rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_equivalence_default_precision(tiny_dataset, tmp_path):
+    """Same contract at the shipping bf16 config, at bf16 tolerance."""
+    from jax.sharding import Mesh
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    mesh8 = Mesh(np.asarray(jax.devices()), ("data",))
+    e1, e8 = _engines_on_meshes(
+        tiny_dataset, tmp_path, [mesh1, mesh8], batch_size=8,
+    )
+    batch = _stacked_batch(tiny_dataset, 8)
+    rng = jax.random.PRNGKey(3)
+    _, t1 = e1._train_step(e1.state, e1._prep_batch(batch), rng, e1.statics)
+    _, t8 = e8._train_step(e8.state, e8._prep_batch(batch), rng, e8.statics)
+    for k in t1:
+        np.testing.assert_allclose(
+            float(t1[k]), float(t8[k]), rtol=2e-2, atol=1e-4,
+            err_msg=f"loss term {k} diverges (bf16 config)",
+        )
+
+
 def test_save_vis_during_validation(tiny_dataset, tmp_path):
     cfg = TrainConfig(
         logdir=str(tmp_path), save_vis=True, max_boundary_faces=64, **TINY
