@@ -44,6 +44,84 @@ def prior_round_baseline(metric: str) -> float | None:
     return best_val
 
 
+def _timeit(fn, sync, iters: int = 5):
+    """Median wall time of fn(); sync must force a host fetch (this
+    remote TPU's block_until_ready can return before execution ends)."""
+    sync(fn())  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def kernel_benches(small: bool) -> dict:
+    """Hot-kernel throughputs (BASELINE.md north-star: Mtets/s for the
+    occupancy point-in-tet query and the rasterizer; plus the fused NN
+    kernel that dominates the surface loss).  Shapes are the production
+    shapes recorded in RESULTS.md; value conventions:
+
+      occupancy_mtets_s : point-tet pair tests / s / 1e6 (P x T scan)
+      raster_mpix_s     : pixels fully peeled / s / 1e6 (at F faces, k)
+      nn_mqueries_s     : NN queries resolved / s / 1e6 (at M refs)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deftet_tpu.ops.nearest import nearest_neighbor
+    from deftet_tpu.ops.point_tet import points_in_tets
+    from deftet_tpu.render.raster import deftet_sparse_render
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.asarray(leaf).reshape(-1)[0])
+
+    # --- occupancy (point-in-tet): eval-path shape, res-50 grid scale
+    P, T = (512, 2048) if small else (8192, 750_000)
+    centers = rng.uniform(-0.5, 0.5, (1, T, 1, 3))
+    tets = (centers + rng.uniform(-0.02, 0.02, (1, T, 4, 3))).astype(
+        np.float32
+    )
+    queries = rng.uniform(-0.5, 0.5, (1, P, 3)).astype(np.float32)
+    tets_j, queries_j = jnp.asarray(tets), jnp.asarray(queries)
+    f = jax.jit(lambda: points_in_tets(tets_j, queries_j))
+    dt = _timeit(f, sync)
+    out["occupancy_mtets_s"] = round(P * T / dt / 1e6, 1)
+
+    # --- rasterizer: one 400^2/4%-sampling train step's pixel budget
+    # against a post-carve face count, full k-peel
+    PIX, F, K = (256, 1024, 8) if small else (6400, 100_000, 120)
+    pix = rng.uniform(-1, 1, (1, PIX, 2)).astype(np.float32)
+    ranges = np.concatenate(
+        [np.full((1, PIX, 1), -1000.0), np.zeros((1, PIX, 1))], axis=-1
+    ).astype(np.float32)
+    tri = rng.uniform(-1, 1, (1, F, 1, 2)) + rng.uniform(
+        -0.05, 0.05, (1, F, 3, 2)
+    )
+    face_img = tri.astype(np.float32)
+    face_z = rng.uniform(2.0, 6.0, (1, F, 3)).astype(np.float32)
+    face_feat = rng.uniform(0, 1, (1, F, 3, 4)).astype(np.float32)
+    args = [jnp.asarray(a) for a in (pix, ranges, face_z, face_img,
+                                     face_feat)]
+    f = jax.jit(lambda: deftet_sparse_render(*args, k=K))
+    dt = _timeit(f, sync)
+    out["raster_mpix_s"] = round(PIX / dt / 1e6, 3)
+
+    # --- fused NN: surface-loss production shape (800k boundary samples
+    # x 5k GT points x batch 4)
+    B, Q, M = (2, 512, 256) if small else (4, 200_000, 5000)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (B, Q, 3)).astype(np.float32))
+    refs = jnp.asarray(rng.uniform(-0.5, 0.5, (B, M, 3)).astype(np.float32))
+    f = jax.jit(lambda: nearest_neighbor(q, refs))
+    dt = _timeit(f, sync)
+    out["nn_mqueries_s"] = round(B * Q / dt / 1e6, 2)
+    return out
+
+
 def main():
     # Honor DEFTET_PLATFORM=cpu|tpu like the CLIs do — the axon TPU
     # plugin ignores the JAX_PLATFORMS env var, so a CPU smoke run
@@ -162,6 +240,15 @@ def main():
     steps_per_sec = steps / dt
     metric = f"train_step_res{res}_bs{batch}"
     baseline = prior_round_baseline(metric) or 1.0
+
+    extra = {}
+    if os.environ.get("BENCH_KERNELS", "1") == "1":
+        note("kernel benches")
+        try:
+            extra = kernel_benches(small)
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            note(f"kernel benches failed: {e}")
+
     print(
         json.dumps(
             {
@@ -169,6 +256,7 @@ def main():
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / baseline, 4),
+                "extra": extra,
             }
         )
     )

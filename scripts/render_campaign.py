@@ -72,6 +72,12 @@ def main() -> int:
     p.add_argument("--stage_videos", action="store_true",
                    help="write a per-stage convergence mp4 (first train "
                         "view, one frame / 200 steps) to the outdir")
+    p.add_argument("--eval_views", type=int, default=0,
+                   help="cap the per-stage test-PSNR eval to this many "
+                        "held-out views (0 = all); the FINAL eval always "
+                        "uses the full test split")
+    p.add_argument("--min_stage_s", type=float, default=240.0,
+                   help="floor for a pro-rated stage deadline")
     p.add_argument("--scene_cache", default="auto",
                    help="npz path for the generated GT scene; 'auto' = "
                         "<outdir>/scene_cache.npz, 'none' disables. "
@@ -193,6 +199,12 @@ def main() -> int:
         with open(os.path.join(args.outdir, "records.json"), "w") as f:
             json.dump(payload, f, indent=2)
 
+    # --- build the stage plan up front so the wall budget can be
+    # pro-rated across it: a single global deadline lets a slow sub0 eat
+    # the whole budget and starve sub1/sub2 (which are the POINT of the
+    # staged schedule); instead each stage gets a share of the remaining
+    # budget proportional to its step count, with a floor.
+    plan = []  # ("stage", sub, gridmov, steps) | ("subdiv", sub)
     for sub in range(args.start_sublevel, cfg.sublevels + 1):
         for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
             if steps <= 0:
@@ -200,47 +212,62 @@ def main() -> int:
             if (gridmov and sub == args.start_sublevel
                     and args.start_phase == "fix"):
                 continue
-            if time.monotonic() > stage_deadline_cap - 30:
-                log("out of stage budget; skipping remaining stages")
-                break
-            name = f"sub{sub}-{'mov' if gridmov else 'fix'}"
-            log(f"=== stage {name}: {steps} steps ===")
-            params, _ = optimize_stage(
-                scene, params, images, poses, hwf, i_train, cfg,
-                gridmov=gridmov, steps=steps, log=log,
-                lr_div=float(sub + 1), deadline=stage_deadline_cap,
-                video_path=(os.path.join(args.outdir, f"video_{name}.mp4")
-                            if args.stage_videos else None),
+            plan.append(("stage", sub, gridmov, steps))
+        if sub < cfg.sublevels:
+            plan.append(("subdiv", sub, None, 0))
+
+    i_eval = i_test[: args.eval_views] if args.eval_views else i_test
+    eval_est = [90.0]     # rolling estimate of one stage's eval+save cost
+    SUBDIV_EST = 180.0    # carve + escalation PSNR guards + re-jit
+
+    for pi, (kind, sub, gridmov, steps) in enumerate(plan):
+        now = time.monotonic()
+        if now > stage_deadline_cap - 60:
+            log("out of stage budget; skipping remaining stages")
+            break
+        if kind == "subdiv":
+            params = carve_and_subdivide(
+                scene, params, images, poses, hwf, i_val[:4], cfg, log=log,
             )
-            mse, psnr = evaluate_psnr(
-                scene, params, images, poses, hwf, i_test, cfg
-            )
-            tr_mse, tr_psnr = evaluate_psnr(
-                scene, params, images, poses, hwf, i_train[:8], cfg
-            )
-            records.append(
-                {"stage": name, "mse": mse, "psnr": psnr,
-                 "train_psnr": tr_psnr, "n_tets": scene.n_tets,
-                 "wall_s": round(time.monotonic() - t0, 1)}
-            )
-            log(f"[{name}] test psnr={psnr:.2f} train psnr={tr_psnr:.2f} "
-                f"tets={scene.n_tets}")
-            scene.save_state(
-                os.path.join(args.outdir, f"state_{name}.npz"), params
-            )
-            flush_records()
-        else:
-            if sub < cfg.sublevels:
-                if time.monotonic() > stage_deadline_cap - 60:
-                    log("out of budget before subdivision; stopping")
-                    break
-                params = carve_and_subdivide(
-                    scene, params, images, poses, hwf, i_val[:4], cfg,
-                    log=log,
-                )
-                log(f"subdivided -> {scene.n_tets} tets")
+            log(f"subdivided -> {scene.n_tets} tets")
             continue
-        break
+        rest = plan[pi:]
+        rem_steps = sum(s for k, _, _, s in rest if k == "stage")
+        n_rem_stages = sum(1 for k, *_ in rest if k == "stage")
+        n_rem_subdiv = sum(1 for k, *_ in rest if k == "subdiv")
+        avail = (stage_deadline_cap - now
+                 - eval_est[0] * n_rem_stages - SUBDIV_EST * n_rem_subdiv)
+        share = max(args.min_stage_s, avail * steps / max(rem_steps, 1))
+        stage_deadline = min(now + share, stage_deadline_cap)
+        name = f"sub{sub}-{'mov' if gridmov else 'fix'}"
+        log(f"=== stage {name}: {steps} steps, "
+            f"{stage_deadline - now:.0f}s share ===")
+        params, _ = optimize_stage(
+            scene, params, images, poses, hwf, i_train, cfg,
+            gridmov=gridmov, steps=steps, log=log,
+            lr_div=float(sub + 1), deadline=stage_deadline,
+            video_path=(os.path.join(args.outdir, f"video_{name}.mp4")
+                        if args.stage_videos else None),
+        )
+        t_eval = time.monotonic()
+        mse, psnr = evaluate_psnr(
+            scene, params, images, poses, hwf, i_eval, cfg
+        )
+        tr_mse, tr_psnr = evaluate_psnr(
+            scene, params, images, poses, hwf, i_train[:8], cfg
+        )
+        records.append(
+            {"stage": name, "mse": mse, "psnr": psnr,
+             "train_psnr": tr_psnr, "n_tets": scene.n_tets,
+             "wall_s": round(time.monotonic() - t0, 1)}
+        )
+        log(f"[{name}] test psnr={psnr:.2f} train psnr={tr_psnr:.2f} "
+            f"tets={scene.n_tets}")
+        scene.save_state(
+            os.path.join(args.outdir, f"state_{name}.npz"), params
+        )
+        flush_records()
+        eval_est[0] = max(30.0, time.monotonic() - t_eval)
 
     mse, psnr = evaluate_psnr(scene, params, images, poses, hwf, i_test, cfg)
     log(f"FINAL test mse={mse:.5f} psnr={psnr:.3f} tets={scene.n_tets}")
