@@ -341,6 +341,14 @@ class RenderOptConfig:
     # so larger k is cheap (k 10->30 measured +11% step time).
     k: int = 300
     raster_chunk: int = 1024
+    # Screen-space candidate binning (raster.deftet_sparse_render
+    # bin_cand): -1 = auto from the face count, 0 = off.  Cuts the
+    # O(pixels x faces) hit scan to O(pixels x bin_cand) by culling
+    # faces per thin pixel-strip tile; `bin_pixel_chunk` is the strip
+    # size (smaller strips = tighter bboxes = fewer candidates, more
+    # scan launches).
+    bin_cand: int = -1
+    bin_pixel_chunk: int = 2048
     # Pixel-chunk size for FULL-FRAME renders (PSNR eval / turntable
     # export).  Training steps render only the sampled pixel subset; a
     # full frame in one chunk multiplies the raster's live
@@ -368,6 +376,55 @@ def _white_composite(images_nxhxwx4: np.ndarray):
     return rgb * mask + (1.0 - mask), mask
 
 
+def calibrate_bin_cand(
+    scene: TetScene,
+    params,
+    cams,
+    views,
+    grid: np.ndarray,
+    n_pix: int,
+    cfg: RenderOptConfig,
+    rng: np.random.Generator,
+    margin: float = 1.5,
+) -> int:
+    """Measured candidate budget for binned training renders.
+
+    Projects the scene's faces through a few training cameras, samples a
+    training-sized pixel subset, and returns margin x the worst per-tile
+    bbox-overlap count (rounded to 512) — the budget that makes the
+    binned raster exact for tiles like these.  Returns 0 (binning off)
+    when culling can't win (small scenes or budget ~ face count).
+    """
+    from .camera import perspective
+    from .raster import bin_overflow
+
+    f = int(scene.faces_fx3.shape[0])
+    if cfg.bin_cand == 0 or f <= 4096:
+        return 0
+    if cfg.bin_cand > 0:
+        return cfg.bin_cand
+    pts = scene.world_points(params)[None]
+    faces = jnp.asarray(scene.faces_fx3)
+    worst = 0
+    for v in views:
+        rot, pos, proj = cams[int(v)]
+        _, img_xy = perspective(
+            pts, jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj)
+        )
+        face_img = img_xy[0][faces]  # (F, 3, 2)
+        pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
+                          replace=False)
+        over = bin_overflow(
+            face_img, jnp.asarray(grid[pick]), cfg.bin_pixel_chunk, 1
+        )
+        worst = max(worst, over + 1)
+    cand = -(-int(worst * margin) // 512) * 512
+    cand = max(cand, 2048)
+    if cand >= f:
+        return 0
+    return cand
+
+
 def make_render_step(
     scene: TetScene,
     weights: Dict[str, float],
@@ -385,7 +442,8 @@ def make_render_step(
     def loss_fn(params, pix_1xpx2, rot, pos, proj, gt_color, gt_mask):
         color, mask = scene.render(
             params, pix_1xpx2, rot, pos, proj, k=cfg.k,
-            chunk=cfg.raster_chunk,
+            chunk=cfg.raster_chunk, pixel_chunk=cfg.bin_pixel_chunk,
+            bin_cand=cfg.bin_cand,
         )[:2]
         loss_im = jnp.mean(jnp.abs(color - gt_color))
         loss_mask = jnp.mean(jnp.abs(mask - gt_mask))
@@ -490,10 +548,20 @@ def optimize_stage(
     opt_mov = optax.adam(cfg.lr_mov / lr_div, b1=0.5, b2=0.999)
     osf = opt_feat.init({"feat": params["feat"]})
     osm = opt_mov.init({"mov": params["mov"]})
-    step_fn = make_render_step(scene, weights, gridmov, cfg, opt_feat,
-                               opt_mov)
 
     n_pix = max(1, int(cfg.pixel_sampling * h * w))
+
+    def _calibrated_cfg():
+        cand = calibrate_bin_cand(
+            scene, params, cams, i_train[:3], grid, n_pix, cfg, rng
+        )
+        if log and cand != cfg.bin_cand:
+            log(f"[bin] candidate budget {cand or 'off'} "
+                f"(faces {scene.faces_fx3.shape[0]})")
+        return dataclasses.replace(cfg, bin_cand=cand)
+
+    step_fn = make_render_step(scene, weights, gridmov, _calibrated_cfg(),
+                               opt_feat, opt_mov)
     history = []
     video_frames = []
 
@@ -515,7 +583,8 @@ def optimize_stage(
             if scene.carve(params, cfg.delete_threshold,
                            neighbor_levels=cfg.carve_dilation):
                 step_fn = make_render_step(
-                    scene, weights, gridmov, cfg, opt_feat, opt_mov
+                    scene, weights, gridmov, _calibrated_cfg(), opt_feat,
+                    opt_mov,
                 )
         view = int(i_train[rng.integers(len(i_train))])
         pick = rng.choice(h * w, size=n_pix, replace=False)
@@ -558,17 +627,18 @@ def render_full_image(
     pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
     grid = pixel_grid(h, w)
-    colors, masks = [], []
-    for s in range(0, grid.shape[0], pix_chunk):
-        pix = jnp.asarray(grid[s: s + pix_chunk])[None]
-        c, m = scene.render(
-            params, pix, jnp.asarray(rot), jnp.asarray(pos),
-            jnp.asarray(proj), k=cfg.k, chunk=cfg.raster_chunk,
-        )[:2]
-        colors.append(np.asarray(c[0]))
-        masks.append(np.asarray(m[0]))
-    color = np.concatenate(colors).reshape(h, w, 3)
-    mask = np.concatenate(masks).reshape(h, w, 1)
+    # One device call per frame: the raster tiles the pixel axis
+    # internally (query_tiled at pixel_chunk), so the live tile stays
+    # (pix_chunk, face_chunk)-bounded while avoiding ~40 host round
+    # trips per frame over the remote TPU tunnel.
+    c, m = scene.render(
+        params, jnp.asarray(grid)[None], jnp.asarray(rot),
+        jnp.asarray(pos), jnp.asarray(proj), k=cfg.k,
+        chunk=cfg.raster_chunk, pixel_chunk=pix_chunk,
+        bin_cand=cfg.bin_cand,
+    )[:2]
+    color = np.asarray(c[0]).reshape(h, w, 3)
+    mask = np.asarray(m[0]).reshape(h, w, 1)
     return color, mask
 
 

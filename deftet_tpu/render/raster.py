@@ -17,6 +17,17 @@ TPU design (no per-pixel linked lists / atomics as in the CUDA original):
     pixel2mesh convention: camera looks down +z after projection flip)
     into a running (P_tile, k) buffer via concat + top_k.  Entirely
     argsort-free.  This pass runs under stop_gradient.
+  * screen-space candidate binning (``bin_cand`` > 0) — the CUDA original
+    is one-thread-per-pixel over ALL faces; the XLA scan shares that
+    O(P·F) cost.  Binning first sorts pixels into raster order (so each
+    pixel tile covers a thin screen strip), then per tile compacts the
+    face ids whose screen bbox overlaps the tile's bbox into a fixed
+    ``bin_cand``-slot candidate list (one O(F) cumsum-scatter — no sort),
+    and runs the hit pass over candidates only.  Typical strips overlap
+    a few % of the faces, so the per-pixel work drops ~F/bin_cand-fold.
+    Binning is exact whenever the per-tile overlap count fits
+    ``bin_cand`` (overflow drops the highest-indexed faces; see
+    ``bin_overflow`` for a diagnostic).
   * differentiable replay — gather the selected faces' vertex data and
     recompute barycentric weights + feature interpolation in plain JAX, so
     gradients flow to the 2D vertex positions AND features exactly like the
@@ -61,17 +72,19 @@ def barycentric_2d(pix_xy, tri_xy, eps: float = 1e-12):
     return w0, w1, w2
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "k"))
-def _hit_topk_single(
-    pix_px2, range_px2, face_z_fx3, face_img_fx3x2, chunk: int, k: int
+def _hit_topk_ids(
+    pix_px2, range_px2, face_z_fx3, face_img_fx3x2, face_id_f,
+    chunk: int, k: int
 ):
     """Per pixel: indices + z of the k nearest covering faces (one sample).
 
-    Runs fully under stop_gradient semantics (int indices out).
+    ``face_id_f`` carries each row's GLOBAL face index (-1 = dead row:
+    padding, or an unfilled candidate slot).  Runs fully under
+    stop_gradient semantics (int indices out).
     """
-    f = face_z_fx3.shape[0]
-    z_pad, n_valid = pad_axis(face_z_fx3, 0, chunk, 0.0)
+    z_pad, _ = pad_axis(face_z_fx3, 0, chunk, 0.0)
     img_pad, _ = pad_axis(face_img_fx3x2, 0, chunk, 0.0)
+    id_pad, _ = pad_axis(face_id_f, 0, chunk, -1)
     p = pix_px2.shape[0]
 
     init = (
@@ -80,8 +93,9 @@ def _hit_topk_single(
     )
 
     def body(carry, chunk_items, start):
+        del start
         best_z, best_i = carry
-        zc, imgc = chunk_items  # (chunk, 3), (chunk, 3, 2)
+        zc, imgc, idc = chunk_items  # (chunk, 3), (chunk, 3, 2), (chunk,)
         w0, w1, w2 = barycentric_2d(
             pix_px2[:, None, :], imgc[None, :, :, :]
         )  # (P, chunk)
@@ -89,9 +103,9 @@ def _hit_topk_single(
         z = (
             w0 * zc[None, :, 0] + w1 * zc[None, :, 1] + w2 * zc[None, :, 2]
         )
-        ids = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + start
+        ids = jnp.broadcast_to(idc[None, :], z.shape)
         in_range = (z >= range_px2[:, :1]) & (z <= range_px2[:, 1:2])
-        ok = inside & in_range & (ids < n_valid)
+        ok = inside & in_range & (ids >= 0)
         z = jnp.where(ok, z, _NEG)
         ids = jnp.where(ok, ids, -1)
         # merge with running top-k (concat then top_k on z)
@@ -102,9 +116,103 @@ def _hit_topk_single(
         return top_z, top_i
 
     best_z, best_i = chunked_scan_reduce(
-        (z_pad, img_pad), init, body, chunk
+        (z_pad, img_pad, id_pad), init, body, chunk
     )
     return best_z, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "k"))
+def _hit_topk_single(
+    pix_px2, range_px2, face_z_fx3, face_img_fx3x2, chunk: int, k: int
+):
+    """Unbinned hit pass over the full face list."""
+    face_id = jnp.arange(face_z_fx3.shape[0], dtype=jnp.int32)
+    return _hit_topk_ids(
+        pix_px2, range_px2, face_z_fx3, face_img_fx3x2, face_id, chunk, k
+    )
+
+
+def _tile_candidates(
+    tile_lo_2, tile_hi_2, fmin_fx2, fmax_fx2, n_cand: int
+):
+    """Face ids whose screen bbox overlaps [tile_lo, tile_hi].
+
+    Static-shape compaction: one cumsum assigns each overlapping face a
+    slot; ids beyond ``n_cand`` fall into a dump slot that is sliced off.
+    Returns (cand (n_cand,) int32 ascending, -1 padded; overflow scalar).
+    """
+    ok = (
+        (fmin_fx2[:, 0] <= tile_hi_2[0])
+        & (fmax_fx2[:, 0] >= tile_lo_2[0])
+        & (fmin_fx2[:, 1] <= tile_hi_2[1])
+        & (fmax_fx2[:, 1] >= tile_lo_2[1])
+    )
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    dest = jnp.where(ok & (pos < n_cand), pos, n_cand)
+    cand = (
+        jnp.full((n_cand + 1,), -1, dtype=jnp.int32)
+        .at[dest]
+        .set(jnp.arange(ok.shape[0], dtype=jnp.int32), mode="drop")
+    )[:n_cand]
+    overflow = jnp.maximum(pos[-1] + 1 - n_cand, 0)
+    return cand, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "k", "n_cand")
+)
+def _hit_topk_binned(
+    pixrange_px4, face_z_fx3, face_img_fx3x2, chunk: int, k: int,
+    n_cand: int
+):
+    """Binned hit pass for ONE pixel tile: cull faces by the tile's
+    screen bbox, then scan candidates only."""
+    pix = pixrange_px4[..., :2]
+    ranges = pixrange_px4[..., 2:]
+    fmin = jnp.min(face_img_fx3x2, axis=1)  # (F, 2)
+    fmax = jnp.max(face_img_fx3x2, axis=1)
+    cand, _ = _tile_candidates(
+        jnp.min(pix, axis=0), jnp.max(pix, axis=0), fmin, fmax, n_cand
+    )
+    safe = jnp.maximum(cand, 0)
+    z_c = face_z_fx3[safe]
+    img_c = face_img_fx3x2[safe]
+    return _hit_topk_ids(pix, ranges, z_c, img_c, cand, chunk, k)
+
+
+def _edge_pad_rows(x, multiple: int):
+    """Pad axis 0 to a multiple by repeating the last row — keeps the
+    final tile's bbox tight (zero padding would stretch it to the
+    origin and inflate its candidate count ~10x)."""
+    n = x.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.tile(x[-1:], (target - n,) + (1,) * (x.ndim - 1))], axis=0
+    )
+
+
+def bin_overflow(
+    face_img_fx3x2, pix_px2, pixel_chunk: int, n_cand: int
+) -> int:
+    """Diagnostic: max per-tile candidate overflow for a given binning
+    config (0 = binned render is exact).  Mirrors the tiling the binned
+    path would use on these pixels."""
+    order = jnp.lexsort((pix_px2[:, 0], pix_px2[:, 1]))
+    pix = _edge_pad_rows(pix_px2[order], pixel_chunk)
+    tiles = pix.reshape(-1, pixel_chunk, 2)
+    fmin = jnp.min(face_img_fx3x2, axis=1)
+    fmax = jnp.max(face_img_fx3x2, axis=1)
+
+    def one(tile):
+        _, over = _tile_candidates(
+            jnp.min(tile, axis=0), jnp.max(tile, axis=0), fmin, fmax,
+            n_cand,
+        )
+        return over
+
+    return int(jnp.max(jax.lax.map(one, tiles)))
 
 
 def deftet_sparse_render(
@@ -116,6 +224,7 @@ def deftet_sparse_render(
     k: int = 30,
     chunk: int = 1024,
     pixel_chunk: int = 8192,
+    bin_cand: int = 0,
 ):
     """Render k depth-peeled feature layers per pixel.
 
@@ -123,24 +232,59 @@ def deftet_sparse_render(
     face).  Larger camera z = closer (faces are peeled front to back).
     Differentiable w.r.t. face z, image positions, and features via
     recompute on the selected faces.
+
+    ``bin_cand`` > 0 enables screen-space candidate binning: pixels are
+    sorted into raster order, each ``pixel_chunk`` tile culls the face
+    list to the ≤ ``bin_cand`` faces whose bbox overlaps the tile, and
+    the O(P·F) hit scan runs over candidates only.  Exact as long as no
+    tile overlaps more than ``bin_cand`` faces (check with
+    ``bin_overflow``); prefer ``bin_cand`` ≥ a few × the expected strip
+    overlap.
     """
     pix = pixel_coords_1xpx2[0].astype(jnp.float32)
     ranges = render_ranges_1xpx2[0].astype(jnp.float32)
     b = face_vertices_z_bxfx3.shape[0]
+    p = pix.shape[0]
+    n_faces = face_vertices_z_bxfx3.shape[1]
+    if bin_cand >= n_faces:
+        bin_cand = 0  # culling can't help; use the plain path
     # Never tile wider than the (padded) pixel count: the hit scan does
     # (P_tile, face_chunk) work per face chunk regardless of how many
     # pixels are real, so an 8192 tile around a 400-pixel training batch
     # is 95% padding waste (measured the whole round-1 render step).
-    pixel_chunk = min(pixel_chunk, -(-pix.shape[0] // 512) * 512)
+    pixel_chunk = min(pixel_chunk, -(-p // 512) * 512)
 
-    def select(z_fx3, img_fx3x2):
-        return query_tiled(
-            lambda pc_rc: _hit_topk_single(
-                pc_rc[..., :2], pc_rc[..., 2:], z_fx3, img_fx3x2, chunk, k
-            ),
-            jnp.concatenate([pix, ranges], axis=-1),
+    if bin_cand:
+        # raster-order sort -> each tile covers a thin screen strip, so
+        # the bbox cull bites even for randomly sampled training pixels.
+        order = jnp.lexsort((pix[:, 0], pix[:, 1]))
+        inv = jnp.argsort(order)
+        packed = _edge_pad_rows(
+            jnp.concatenate([pix[order], ranges[order]], axis=-1),
             pixel_chunk,
         )
+
+        def select(z_fx3, img_fx3x2):
+            out = query_tiled(
+                lambda pc_rc: _hit_topk_binned(
+                    pc_rc, z_fx3, img_fx3x2, chunk, k, bin_cand
+                ),
+                packed,
+                pixel_chunk,
+            )
+            return jax.tree_util.tree_map(lambda x: x[:p][inv], out)
+
+    else:
+
+        def select(z_fx3, img_fx3x2):
+            return query_tiled(
+                lambda pc_rc: _hit_topk_single(
+                    pc_rc[..., :2], pc_rc[..., 2:], z_fx3, img_fx3x2,
+                    chunk, k,
+                ),
+                jnp.concatenate([pix, ranges], axis=-1),
+                pixel_chunk,
+            )
 
     # NOTE query_tiled expects (P, 3)-ish; pack pix+range as (P, 4).
     _, idx = jax.vmap(select)(

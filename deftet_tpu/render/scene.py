@@ -37,7 +37,8 @@ from .composite import render_mesh_color
 # dispatches every op eagerly, which over a remote TPU tunnel turns a
 # full-frame eval (dozens of views x pixel chunks) into minutes of RTT.
 _render_mesh_color_jit = jax.jit(
-    render_mesh_color, static_argnames=("k", "depth", "chunk")
+    render_mesh_color,
+    static_argnames=("k", "depth", "chunk", "pixel_chunk", "bin_cand"),
 )
 
 
@@ -169,11 +170,19 @@ class TetScene:
         k: int = 10,
         depth: bool = False,
         chunk: int = 1024,
+        pixel_chunk: int = 2048,
+        bin_cand: int = -1,
     ):
         """Render sampled pixels; returns (color, mask[, depth]).
 
         The per-pixel z range is (-1000, 0): the camera looks down -z so
         every face in front of the camera qualifies (deftet.py:461-462).
+
+        ``bin_cand``: screen-space binning candidate budget (see
+        raster.deftet_sparse_render).  -1 = auto (F//4 clamped to
+        [2048, 65536], rounded to 512 — a conservative budget; callers
+        with a measured overlap bound, e.g. optimize_stage's per-stage
+        calibration, should pass an explicit value); 0 = off.
         """
         b = cam_rot_bx3x3.shape[0]
         pts = self.world_points(params)[None].repeat(b, axis=0)
@@ -188,6 +197,11 @@ class TetScene:
             ],
             axis=-1,
         )
+        if bin_cand < 0:
+            f = int(self.faces_fx3.shape[0])
+            bin_cand = min(max(-(-(f // 4) // 512) * 512, 2048), 65536)
+            if bin_cand >= f:
+                bin_cand = 0
         return _render_mesh_color_jit(
             pixel_xy_1xpx2,
             ranges,
@@ -198,6 +212,8 @@ class TetScene:
             k=k,
             depth=depth,
             chunk=chunk,
+            pixel_chunk=pixel_chunk,
+            bin_cand=bin_cand,
         )
 
     # ------------------------------------------------------------------

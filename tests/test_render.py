@@ -241,3 +241,65 @@ def test_scene_state_roundtrip(tmp_path):
         np.asarray(scene2.world_points(params2)),
         np.asarray(scene.world_points(params)),
     )
+
+
+def _random_scene(seed, f, p, spread=0.08):
+    """Random small triangles + random pixels for binning equivalence."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1.0, 1.0, (1, f, 1, 2))
+    img = (base + rng.uniform(-spread, spread, (1, f, 3, 2))).astype(
+        np.float32
+    )
+    z = rng.uniform(-5.0, -1.0, (1, f, 3)).astype(np.float32)
+    feat = rng.uniform(0.0, 1.0, (1, f, 3, 3)).astype(np.float32)
+    pix = rng.uniform(-1.0, 1.0, (1, p, 2)).astype(np.float32)
+    ranges = np.concatenate(
+        [np.full((1, p, 1), -1000.0), np.zeros((1, p, 1))], axis=-1
+    ).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in (pix, ranges, z, img, feat))
+
+
+def test_raster_binned_matches_unbinned():
+    """Candidate binning is exact when every tile's overlap fits the
+    candidate budget (small faces here, generous bin_cand)."""
+    pix, ranges, z, img, feat = _random_scene(0, f=600, p=700)
+    ref_feat, ref_idx = deftet_sparse_render(
+        pix, ranges, z, img, feat, k=4, chunk=128
+    )
+    out_feat, out_idx = deftet_sparse_render(
+        pix, ranges, z, img, feat, k=4, chunk=128,
+        pixel_chunk=128, bin_cand=512,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(out_idx))
+    np.testing.assert_allclose(
+        np.asarray(ref_feat), np.asarray(out_feat), atol=1e-6
+    )
+
+
+def test_raster_binned_gradients_match():
+    pix, ranges, z, img, feat = _random_scene(1, f=300, p=200)
+
+    def loss(args, bin_cand):
+        zz, ii, ff = args
+        layers, _ = deftet_sparse_render(
+            pix, ranges, zz, ii, ff, k=3, chunk=64,
+            pixel_chunk=64, bin_cand=bin_cand,
+        )
+        return jnp.sum(layers**2)
+
+    g_ref = jax.grad(lambda a: loss(a, 0))((z, img, feat))
+    g_bin = jax.grad(lambda a: loss(a, 256))((z, img, feat))
+    for a, b in zip(g_ref, g_bin):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+
+def test_raster_bin_overflow_diagnostic():
+    from deftet_tpu.render.raster import bin_overflow
+
+    pix, _, _, img, _ = _random_scene(2, f=400, p=500)
+    # generous budget: no overflow
+    assert bin_overflow(img[0], pix[0], pixel_chunk=128, n_cand=400) == 0
+    # one-slot budget on a busy scene must overflow
+    assert bin_overflow(img[0], pix[0], pixel_chunk=512, n_cand=1) > 0
