@@ -348,14 +348,19 @@ class RenderOptConfig:
     # size (smaller strips = tighter bboxes = fewer candidates, more
     # scan launches).
     bin_cand: int = -1
-    bin_pixel_chunk: int = 2048
+    # Thin strips matter: a training tile of `bin_pixel_chunk` sorted
+    # pixels spans bin_pixel_chunk/n_sampled of the screen's rows, and
+    # the per-tile candidate count scales with that strip height.
+    bin_pixel_chunk: int = 512
     # Pixel-chunk size for FULL-FRAME renders (PSNR eval / turntable
     # export).  Training steps render only the sampled pixel subset; a
     # full frame in one chunk multiplies the raster's live
     # (pixels, face_chunk) tile by ~16x and, at multi-million-face
     # post-subdivision scenes, has crashed the remote TPU worker — keep
     # eval frames tiled.
-    eval_pix_chunk: int = 4096
+    # (replay memory scales with pix_chunk x k; 16384 x k=300 stays
+    # under ~250 MB while cutting host round trips per frame to ~10)
+    eval_pix_chunk: int = 16384
     # Post-subdivision tet budget (0 = unlimited = exact reference
     # semantics).  The reference subdivides EVERY alive tet between
     # sublevels (subdivision(None), optim...py:518-521) and relies on the
@@ -395,29 +400,30 @@ def calibrate_bin_cand(
     binned raster exact for tiles like these.  Returns 0 (binning off)
     when culling can't win (small scenes or budget ~ face count).
     """
-    from .camera import perspective
-    from .raster import bin_overflow
+    from .raster import bin_overlap_max_np
 
     f = int(scene.faces_fx3.shape[0])
     if cfg.bin_cand == 0 or f <= 4096:
         return 0
     if cfg.bin_cand > 0:
         return cfg.bin_cand
-    pts = scene.world_points(params)[None]
-    faces = jnp.asarray(scene.faces_fx3)
+    # host-side projection (numpy twin of camera.perspective): eager
+    # per-op dispatch over a remote TPU tunnel costs ~minutes per view.
+    pts = np.asarray(scene.points_px3 + np.asarray(params["mov"]))
+    pts = scene.coef * pts
     worst = 0
     for v in views:
         rot, pos, proj = cams[int(v)]
-        _, img_xy = perspective(
-            pts, jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj)
-        )
-        face_img = img_xy[0][faces]  # (F, 3, 2)
+        p = (pts - np.asarray(pos)[0]) @ np.asarray(rot)[0].T
+        xyz = p * np.asarray(proj).reshape(1, 3)
+        img = xyz[:, :2] / xyz[:, 2:3]
+        face_img = img[scene.faces_fx3]  # (F, 3, 2)
         pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
                           replace=False)
-        over = bin_overflow(
-            face_img, jnp.asarray(grid[pick]), cfg.bin_pixel_chunk, 1
+        worst = max(
+            worst,
+            bin_overlap_max_np(face_img, grid[pick], cfg.bin_pixel_chunk),
         )
-        worst = max(worst, over + 1)
     cand = -(-int(worst * margin) // 512) * 512
     cand = max(cand, 2048)
     if cand >= f:
@@ -627,18 +633,23 @@ def render_full_image(
     pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
     grid = pixel_grid(h, w)
-    # One device call per frame: the raster tiles the pixel axis
-    # internally (query_tiled at pixel_chunk), so the live tile stays
-    # (pix_chunk, face_chunk)-bounded while avoiding ~40 host round
-    # trips per frame over the remote TPU tunnel.
-    c, m = scene.render(
-        params, jnp.asarray(grid)[None], jnp.asarray(rot),
-        jnp.asarray(pos), jnp.asarray(proj), k=cfg.k,
-        chunk=cfg.raster_chunk, pixel_chunk=pix_chunk,
-        bin_cand=cfg.bin_cand,
-    )[:2]
-    color = np.asarray(c[0]).reshape(h, w, 3)
-    mask = np.asarray(m[0]).reshape(h, w, 1)
+    # Frames are rendered in device-call chunks: the differentiable
+    # replay materializes (pix, k, 3, C)-shaped gathers, so a whole
+    # 400^2 frame at k=120 in one call is a ~20 GB allocation.  Within
+    # each chunk the raster's internal binning still culls the face
+    # list per thin pixel strip.
+    colors, masks = [], []
+    for s in range(0, grid.shape[0], pix_chunk):
+        pix = jnp.asarray(grid[s: s + pix_chunk])[None]
+        c, m = scene.render(
+            params, pix, jnp.asarray(rot), jnp.asarray(pos),
+            jnp.asarray(proj), k=cfg.k, chunk=cfg.raster_chunk,
+            pixel_chunk=2048, bin_cand=cfg.bin_cand,
+        )[:2]
+        colors.append(np.asarray(c[0]))
+        masks.append(np.asarray(m[0]))
+    color = np.concatenate(colors).reshape(h, w, 3)
+    mask = np.concatenate(masks).reshape(h, w, 1)
     return color, mask
 
 

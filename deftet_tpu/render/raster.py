@@ -193,6 +193,39 @@ def _edge_pad_rows(x, multiple: int):
     )
 
 
+def bin_overlap_max_np(face_img_fx3x2, pix_px2, pixel_chunk: int) -> int:
+    """Host-side (numpy) max per-tile bbox-overlap count.
+
+    The calibration oracle for ``bin_cand``: any budget >= this value
+    makes the binned render exact for these pixels/faces.  Pure numpy —
+    per-view TPU dispatch (and its compile) would cost more than the
+    stage it calibrates.
+    """
+    import numpy as np
+
+    pix = np.asarray(pix_px2, dtype=np.float32)
+    order = np.lexsort((pix[:, 0], pix[:, 1]))
+    pix = pix[order]
+    n = pix.shape[0]
+    target = -(-n // pixel_chunk) * pixel_chunk
+    if target != n:
+        pix = np.concatenate(
+            [pix, np.tile(pix[-1:], (target - n, 1))], axis=0
+        )
+    tiles = pix.reshape(-1, pixel_chunk, 2)
+    lo, hi = tiles.min(axis=1), tiles.max(axis=1)     # (T, 2)
+    face_img = np.asarray(face_img_fx3x2)
+    fmin, fmax = face_img.min(axis=1), face_img.max(axis=1)  # (F, 2)
+    worst = 0
+    for t in range(lo.shape[0]):
+        ok = (
+            (fmin[:, 0] <= hi[t, 0]) & (fmax[:, 0] >= lo[t, 0])
+            & (fmin[:, 1] <= hi[t, 1]) & (fmax[:, 1] >= lo[t, 1])
+        )
+        worst = max(worst, int(ok.sum()))
+    return worst
+
+
 def bin_overflow(
     face_img_fx3x2, pix_px2, pixel_chunk: int, n_cand: int
 ) -> int:
