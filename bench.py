@@ -93,8 +93,10 @@ def kernel_benches(small: bool) -> dict:
     out["occupancy_mtets_s"] = round(P * T / dt / 1e6, 1)
 
     # --- rasterizer: one 400^2/4%-sampling train step's pixel budget
-    # against a post-carve face count, full k-peel
+    # against a post-carve face count, full k-peel, production binned
+    # path (screen-space candidate culling at a realistic budget)
     PIX, F, K = (256, 1024, 8) if small else (6400, 100_000, 120)
+    PC, CAND = (64, 256) if small else (512, 16384)
     pix = rng.uniform(-1, 1, (1, PIX, 2)).astype(np.float32)
     ranges = np.concatenate(
         [np.full((1, PIX, 1), -1000.0), np.zeros((1, PIX, 1))], axis=-1
@@ -103,11 +105,14 @@ def kernel_benches(small: bool) -> dict:
         -0.05, 0.05, (1, F, 3, 2)
     )
     face_img = tri.astype(np.float32)
-    face_z = rng.uniform(2.0, 6.0, (1, F, 3)).astype(np.float32)
+    face_z = rng.uniform(-6.0, -2.0, (1, F, 3)).astype(np.float32)
     face_feat = rng.uniform(0, 1, (1, F, 3, 4)).astype(np.float32)
     args = [jnp.asarray(a) for a in (pix, ranges, face_z, face_img,
                                      face_feat)]
-    f = jax.jit(lambda: deftet_sparse_render(*args, k=K))
+    f = jax.jit(
+        lambda: deftet_sparse_render(*args, k=K, pixel_chunk=PC,
+                                     bin_cand=CAND)
+    )
     dt = _timeit(f, sync)
     out["raster_mpix_s"] = round(PIX / dt / 1e6, 3)
 

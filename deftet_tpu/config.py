@@ -163,6 +163,13 @@ class TrainConfig:
     # reference's DataParallel puts bs-1 on each of 8 GPUs) runs on ONE
     # chip with grad_accum=8.  batch_size must be divisible by it.
     grad_accum: int = 1
+    # Rematerialization: wrap the per-(micro)batch loss in jax.checkpoint
+    # so the backward pass recomputes activations instead of storing
+    # them (~+1 forward of FLOPs for a large activation-memory cut).
+    # The alternative memory lever to grad_accum — e.g. the paper config
+    # (res 70, batch 8) can run grad_accum=2 + remat instead of
+    # grad_accum=8, keeping per-microbatch work wide.
+    remat: bool = False
     finetune_occ: bool = False     # drop deform loss from the total; the
     # pos decoder still gets BCE gradient via deformed centers
     # (exact reference behavior, train_multigpu.py:269)

@@ -371,6 +371,8 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
 
     accum = max(int(getattr(config, "grad_accum", 1)), 1)
 
+    remat = bool(getattr(config, "remat", False))
+
     def train_step(state: TrainState, batch, rng, statics: GridStatics):
         def grads_for(params, bstats, mb, mb_rng):
             def loss_fn(params):
@@ -384,6 +386,8 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
                 )
                 return total, (terms, mutated)
 
+            if remat:
+                loss_fn = jax.checkpoint(loss_fn)
             (total, (terms, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
