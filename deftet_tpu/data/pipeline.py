@@ -104,6 +104,212 @@ def _check_sign_np(verts, faces, points, chunk=2048):
     return (count % 2).astype(np.float32)
 
 
+def _ray_setup(verts, faces):
+    """Shared +z-ray/triangle precomputation (float64)."""
+    tri = verts[faces].astype(np.float64)
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    denom = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    safe = np.abs(denom) > 1e-14
+    denom = np.where(safe, denom, 1.0)
+    return tri, v0, e1, e2, denom, safe
+
+
+def _expand_ranges(lo, hi):
+    """All (i, j) pairs for index ranges [lo0, hi0) x [lo1, hi1) per row.
+
+    Returns (row_id, i, j) flat arrays — the vectorized twin of a
+    per-triangle double loop over its covered grid columns.
+    """
+    nx = hi[:, 0] - lo[:, 0]
+    ny = hi[:, 1] - lo[:, 1]
+    cnt = nx * ny
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    row = np.repeat(np.arange(lo.shape[0], dtype=np.int64), cnt)
+    local = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    i = lo[row, 0] + local // ny[row]
+    j = lo[row, 1] + local % ny[row]
+    return row, i, j
+
+
+def _parity_grid(verts, faces, xs, ys, zs, pair_budget: int = 4_000_000):
+    """Inside/outside parity at the grid of cell centers xs × ys × zs.
+
+    Rasterized +z ray parity with the same jittered-ray semantics as
+    `_check_sign_np`, but each triangle is tested only against the
+    (x, y) columns its 2D bbox covers — O(F · covered_columns) work
+    instead of O(F · nx · ny · nz) — and crossings scatter into
+    per-column z-bins (suffix-sum = crossings above each cell).
+    Returns float32 (nx, ny, nz) in {0, 1}.
+    """
+    _, v0, e1, e2, denom, safe = _ray_setup(verts, faces)
+    xsj = np.asarray(xs, np.float64) + 4.9e-7
+    ysj = np.asarray(ys, np.float64) + 7.3e-7
+    zsc = np.asarray(zs, np.float64)
+    nx, ny, nz = len(xsj), len(ysj), len(zsc)
+
+    tri = verts[faces].astype(np.float64)
+    ix0 = np.searchsorted(xsj, tri[..., 0].min(1), "left")
+    ix1 = np.searchsorted(xsj, tri[..., 0].max(1), "right")
+    iy0 = np.searchsorted(ysj, tri[..., 1].min(1), "left")
+    iy1 = np.searchsorted(ysj, tri[..., 1].max(1), "right")
+    lo = np.stack([ix0, iy0], 1)
+    hi = np.stack([ix1, iy1], 1)
+    hi = np.maximum(hi, lo)
+    hi[~safe] = lo[~safe]  # degenerate tris cover nothing
+
+    bins = np.zeros(nx * ny * (nz + 1), np.int64)
+    cnt = (hi - lo).prod(1)
+    # chunk triangles so the expanded pair arrays stay bounded
+    csum = np.cumsum(cnt)
+    edges = [0]
+    while edges[-1] < len(cnt):
+        base = csum[edges[-1] - 1] if edges[-1] else 0
+        nxt = int(np.searchsorted(csum, base + pair_budget))
+        edges.append(max(nxt, edges[-1] + 1))
+    for s, e in zip(edges[:-1], edges[1:]):
+        t_id, ci, cj = _expand_ranges(lo[s:e], hi[s:e])
+        if t_id.size == 0:
+            continue
+        t_id += s
+        sx = xsj[ci] - v0[t_id, 0]
+        sy = ysj[cj] - v0[t_id, 1]
+        u = (sx * e2[t_id, 1] - sy * e2[t_id, 0]) / denom[t_id]
+        v = (e1[t_id, 0] * sy - e1[t_id, 1] * sx) / denom[t_id]
+        hit = (u >= 0) & (v >= 0) & (u + v <= 1)
+        if not hit.any():
+            continue
+        z_hit = (v0[t_id, 2] + u * e1[t_id, 2] + v * e2[t_id, 2])[hit]
+        col = ci[hit] * ny + cj[hit]
+        b = np.searchsorted(zsc, z_hit, "left")  # crossing is above cells < b
+        bins += np.bincount(
+            col * (nz + 1) + b, minlength=bins.shape[0]
+        )
+    bins = bins.reshape(nx * ny, nz + 1)
+    above = np.cumsum(bins[:, ::-1], axis=1)[:, ::-1][:, 1:]
+    return (above % 2).astype(np.float32).reshape(nx, ny, nz)
+
+
+def _check_sign_rast(verts, faces, points, pair_budget: int = 4_000_000):
+    """Rasterized twin of `_check_sign_np` for scattered points.
+
+    Points are binned into a 2D (x, y) grid of ray columns; each
+    triangle is tested only against the points in the columns its bbox
+    covers.  Bit-identical parity math (same jitter, same float64
+    Möller–Trumbore projection), ~res× less work.
+    """
+    n_pts = points.shape[0]
+    if n_pts == 0:
+        return np.zeros(0, np.float32)
+    _, v0, e1, e2, denom, safe = _ray_setup(verts, faces)
+    q = points.astype(np.float64) + np.array([4.9e-7, 7.3e-7, 0.0])
+    res = int(np.clip(np.sqrt(n_pts), 8, 256))
+    lo2 = q[:, :2].min(0)
+    hi2 = q[:, :2].max(0)
+    w = np.maximum(hi2 - lo2, 1e-12)
+    cell = np.clip(((q[:, :2] - lo2) / w * res).astype(np.int64), 0, res - 1)
+    col = cell[:, 0] * res + cell[:, 1]
+    order = np.argsort(col, kind="stable")
+    bounds = np.searchsorted(col[order], np.arange(res * res + 1))
+
+    tri = verts[faces].astype(np.float64)
+    tmin = tri[..., :2].min(1)
+    tmax = tri[..., :2].max(1)
+    clo = np.clip(((tmin - lo2) / w * res).astype(np.int64), 0, res - 1)
+    chi = np.clip(((tmax - lo2) / w * res).astype(np.int64), 0, res - 1) + 1
+    # triangles fully outside the point extent cover nothing
+    out = (tmax[:, 0] < lo2[0]) | (tmin[:, 0] > hi2[0]) | \
+          (tmax[:, 1] < lo2[1]) | (tmin[:, 1] > hi2[1]) | ~safe
+    chi[out] = clo[out]
+
+    count = np.zeros(n_pts, np.int64)
+    pts_per_col = bounds[1:] - bounds[:-1]
+    t_all, ci_all, cj_all = _expand_ranges(clo, chi)
+    col_all = ci_all * res + cj_all
+    npts_pair = pts_per_col[col_all]
+    keep = npts_pair > 0
+    t_all, col_all, npts_pair = t_all[keep], col_all[keep], npts_pair[keep]
+    csum = np.cumsum(npts_pair)
+    edges = [0]
+    while edges[-1] < len(npts_pair):
+        base = csum[edges[-1] - 1] if edges[-1] else 0
+        nxt = int(np.searchsorted(csum, base + pair_budget))
+        edges.append(max(nxt, edges[-1] + 1))
+    for s, e in zip(edges[:-1], edges[1:]):
+        np_pair = npts_pair[s:e]
+        tot = int(np_pair.sum())
+        if tot == 0:
+            continue
+        pair = np.repeat(np.arange(e - s, dtype=np.int64), np_pair)
+        local = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(np_pair) - np_pair, np_pair
+        )
+        p_id = order[bounds[col_all[s:e][pair]] + local]
+        t_id = t_all[s:e][pair]
+        sx = q[p_id, 0] - v0[t_id, 0]
+        sy = q[p_id, 1] - v0[t_id, 1]
+        u = (sx * e2[t_id, 1] - sy * e2[t_id, 0]) / denom[t_id]
+        v = (e1[t_id, 0] * sy - e1[t_id, 1] * sx) / denom[t_id]
+        hit = (u >= 0) & (v >= 0) & (u + v <= 1)
+        z_hit = v0[t_id, 2] + u * e1[t_id, 2] + v * e2[t_id, 2]
+        hit &= z_hit > q[p_id, 2]
+        count += np.bincount(p_id[hit], minlength=n_pts)
+    return (count % 2).astype(np.float32)
+
+
+def _min_sq_distance(points, verts, faces, k: int = 32,
+                     dist_chunk: int = 512):
+    """Exact min squared point-to-mesh distance, KD-tree pruned.
+
+    Nearest-centroid candidates give an upper bound; any triangle whose
+    centroid lies within bound + max_triangle_radius is then checked
+    exactly, so the result equals the brute-force loop.
+    """
+    tri = verts[faces].astype(np.float64)
+    p = points.astype(np.float64)
+    if faces.shape[0] <= 2048:
+        d2 = np.full(p.shape[0], np.inf)
+        for s in range(0, tri.shape[0], dist_chunk):
+            t = tri[s:s + dist_chunk]
+            d = _point_triangle_sq_np(
+                p[:, None], t[None, :, 0], t[None, :, 1], t[None, :, 2]
+            )
+            d2 = np.minimum(d2, d.min(axis=1))
+        return d2
+    from scipy.spatial import cKDTree
+
+    cent = tri.mean(1)
+    rad = np.sqrt(((tri - cent[:, None]) ** 2).sum(-1).max(1))
+    rad_max = float(rad.max())
+    tree = cKDTree(cent)
+    k = min(k, faces.shape[0])
+    dc, ci = tree.query(p, k=k, workers=-1)
+    cand = tri[ci]  # (N, k, 3, 3)
+    d2 = _point_triangle_sq_np(
+        p[:, None], cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]
+    ).min(1)
+    d_up = np.sqrt(d2)
+    # a triangle outside the k candidates can only be closer if its
+    # centroid is nearer than d_up + rad_max, i.e. inside the unexplored
+    # shell beyond the k-th centroid
+    need = np.nonzero(dc[:, -1] < d_up + rad_max)[0]
+    if need.size:
+        balls = tree.query_ball_point(p[need], d_up[need] + rad_max)
+        for i, idx in zip(need, balls):
+            if not idx:
+                continue
+            t = tri[np.asarray(idx)]
+            d = _point_triangle_sq_np(p[i], t[:, 0], t[:, 1], t[:, 2])
+            d2[i] = min(d2[i], float(d.min()))
+    return d2
+
+
 def mesh_sdf_points(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -114,15 +320,8 @@ def mesh_sdf_points(
     """Uniform box samples + signed distance (dataloader.py:91-115):
     sdf = sign * distance, sign = +1 inside / -1 outside."""
     points = 1.05 * (rng.uniform(size=(num_points, 3)) - 0.5)
-    sign = _check_sign_np(verts, faces, points) * 2.0 - 1.0
-    tri = verts[faces]
-    d2 = np.full(num_points, np.inf)
-    for s in range(0, tri.shape[0], dist_chunk):
-        t = tri[s : s + dist_chunk]
-        d = _point_triangle_sq_np(
-            points[:, None], t[None, :, 0], t[None, :, 1], t[None, :, 2]
-        )
-        d2 = np.minimum(d2, d.min(axis=1))
+    sign = _check_sign_rast(verts, faces, points) * 2.0 - 1.0
+    d2 = _min_sq_distance(points, verts, faces, dist_chunk=dist_chunk)
     return points.astype(np.float32), (sign * np.sqrt(d2)).astype(np.float32)
 
 
@@ -143,43 +342,10 @@ def occupancy_grid(
     centers_1d = -OCC_GRID_EXTENT + (np.arange(g) + 0.5) / g * (
         2 * OCC_GRID_EXTENT
     )
-    # Column algorithm: all g cells of a (x, y) column share one +z ray,
-    # so compute each column's triangle crossings once and read the
-    # parity per z — O(g^2 * F) instead of O(g^3 * F).
-    tri = verts[faces].astype(np.float64)
-    v0 = tri[:, 0]
-    e1 = tri[:, 1] - tri[:, 0]
-    e2 = tri[:, 2] - tri[:, 0]
-    denom = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    safe = np.abs(denom) > 1e-14
-    denom = np.where(safe, denom, 1.0)
-
-    jitter = np.array([4.9e-7, 7.3e-7])
-    xs = centers_1d + jitter[0]
-    ys = centers_1d + jitter[1]
-    xx, yy = np.meshgrid(xs, ys, indexing="ij")
-    cols = np.stack([xx.ravel(), yy.ravel()], axis=1)  # (g^2, 2)
-
-    occ = np.zeros((g * g, g), np.float32)
-    chunk = max(1, 2_000_000 // max(tri.shape[0], 1))
-    for s in range(0, cols.shape[0], chunk):
-        cc = cols[s:s + chunk]
-        sx = cc[:, None, 0] - v0[None, :, 0]
-        sy = cc[:, None, 1] - v0[None, :, 1]
-        u = (sx * e2[None, :, 1] - sy * e2[None, :, 0]) / denom
-        v = (e1[None, :, 0] * sy - e1[None, :, 1] * sx) / denom
-        inside = (u >= 0) & (v >= 0) & (u + v <= 1) & safe[None, :]
-        z_hit = v0[None, :, 2] + u * e1[None, :, 2] + v * e2[None, :, 2]
-        z_hit = np.where(inside, z_hit, np.inf)
-        z_hit.sort(axis=1)
-        n_hits = inside.sum(axis=1)
-        # parity of crossings above each z-center
-        pos = np.apply_along_axis(
-            lambda r: np.searchsorted(r, centers_1d, side="right"),
-            1, z_hit,
-        )  # (chunk, g): finite hits <= z (inf padding never counts)
-        occ[s:s + chunk] = ((n_hits[:, None] - pos) % 2).astype(np.float32)
-    return occ.reshape(g, g, g)
+    # Rasterized column parity: each triangle is tested only against the
+    # ray columns its (x, y) bbox covers — O(F * covered) instead of
+    # O(g^3 * F); see _parity_grid.
+    return _parity_grid(verts, faces, centers_1d, centers_1d, centers_1d)
 
 
 def make_example(
@@ -299,8 +465,12 @@ def _build_mesh_shard(args) -> str:
 
     raw_v, raw_f = load_obj(mesh_path)
     verts, faces = watertight_from_mesh(raw_v, raw_f, res=watertight_res)
+    import zlib
+
+    # crc32, not hash(): str hash is salted per process, which would make
+    # shard contents depend on which worker generated them
     rng = np.random.default_rng(
-        seed ^ (hash(stem) & 0x7FFFFFFF)
+        seed ^ (zlib.crc32(stem.encode()) & 0x7FFFFFFF)
     )
     ex = make_example(
         verts, faces, n_surface, n_sdf, rng, occ_grid_res=occ_grid_res,

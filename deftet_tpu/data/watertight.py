@@ -15,7 +15,7 @@ from typing import Tuple
 
 import numpy as np
 
-from .pipeline import _check_sign_np
+from .pipeline import _parity_grid
 
 
 def normalize_mesh_to_box(
@@ -34,11 +34,7 @@ def voxelize_occupancy(
 ) -> np.ndarray:
     """(res, res, res) cell-center occupancy over [-0.5, 0.5]^3."""
     centers_1d = -0.5 + (np.arange(res) + 0.5) / res
-    xx, yy, zz = np.meshgrid(centers_1d, centers_1d, centers_1d,
-                             indexing="ij")
-    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
-    occ = _check_sign_np(verts, faces, pts, chunk=16384)
-    return occ.reshape(res, res, res)
+    return _parity_grid(verts, faces, centers_1d, centers_1d, centers_1d)
 
 
 def voxel_surface(occ: np.ndarray, res: int):

@@ -132,3 +132,46 @@ def test_occupancy_grid_column_algorithm_matches_pointwise():
     pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
     ref = _check_sign_np(verts, faces, pts).reshape(g, g, g)
     np.testing.assert_array_equal(grid, ref)
+
+
+def test_check_sign_rast_matches_pointwise():
+    from deftet_tpu.data.pipeline import _check_sign_np, _check_sign_rast
+    from deftet_tpu.data.shapes import random_shape
+
+    rng = np.random.default_rng(3)
+    for seed in (1, 4, 9):
+        verts, faces = random_shape(seed, level=2)
+        pts = 1.05 * (rng.uniform(size=(3000, 3)) - 0.5)
+        np.testing.assert_array_equal(
+            _check_sign_rast(verts, faces, pts),
+            _check_sign_np(verts, faces, pts),
+        )
+
+
+def test_min_sq_distance_kd_path_exact():
+    # force the KD-tree branch (> 2048 faces) via a watertight remesh and
+    # compare against the brute-force chunked loop
+    from deftet_tpu.data.pipeline import (
+        _min_sq_distance,
+        _point_triangle_sq_np,
+    )
+    from deftet_tpu.data.shapes import random_shape
+    from deftet_tpu.data.watertight import watertight_from_mesh
+
+    v0, f0 = random_shape(2, level=2)
+    verts, faces = watertight_from_mesh(v0, f0, res=24)
+    assert faces.shape[0] > 2048, "need the KD branch"
+    rng = np.random.default_rng(0)
+    pts = 1.05 * (rng.uniform(size=(500, 3)) - 0.5)
+    fast = _min_sq_distance(pts, verts, faces)
+    tri = verts[faces].astype(np.float64)
+    brute = np.full(len(pts), np.inf)
+    for s in range(0, len(tri), 512):
+        t = tri[s : s + 512]
+        brute = np.minimum(
+            brute,
+            _point_triangle_sq_np(
+                pts[:, None], t[None, :, 0], t[None, :, 1], t[None, :, 2]
+            ).min(1),
+        )
+    np.testing.assert_allclose(fast, brute, rtol=0, atol=1e-12)
