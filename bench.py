@@ -12,7 +12,8 @@ written by the driver at each round end), so regressions are visible;
 first round for a metric falls back to a nominal 1.0 step/s.
 
 Env overrides: BENCH_RES, BENCH_BATCH, BENCH_STEPS, BENCH_SMALL=1 (tiny
-config for CPU smoke runs).
+config for CPU smoke runs), BENCH_R70=0 (skip the paper-recipe
+res-70/bs-8 sub-benchmark), BENCH_KERNELS=0 (skip kernel benches).
 """
 
 import json
@@ -164,7 +165,10 @@ def main():
         if "=" in kv:
             key, val = kv.split("=", 1)
             cur = getattr(config, key)
-            setattr(config, key, type(cur)(val))
+            if isinstance(cur, bool):  # bool("False") is True
+                setattr(config, key, val.lower() in ("1", "true", "yes"))
+            else:
+                setattr(config, key, type(cur)(val))
 
     if small:
         config.encoder_blocks = "8,1,8;16,1,4"
@@ -210,6 +214,7 @@ def main():
     # service occasionally drops the connection mid-compile; retry the
     # warmup a few times rather than losing the round's benchmark.
     note("compiling train step")
+    t_compile_start = time.perf_counter()
     last_err = None
     for attempt in range(3):
         try:
@@ -230,7 +235,8 @@ def main():
     if last_err is not None:
         raise last_err
     engine.state = state
-    note("compiled; timing")
+    compile_s = round(time.perf_counter() - t_compile_start, 1)
+    note(f"compiled in {compile_s}s; timing")
 
     t0 = time.perf_counter()
     for i in range(steps):
@@ -246,13 +252,42 @@ def main():
     metric = f"train_step_res{res}_bs{batch}"
     baseline = prior_round_baseline(metric) or 1.0
 
-    extra = {}
+    extra = {"compile_s": compile_s}
     if os.environ.get("BENCH_KERNELS", "1") == "1":
         note("kernel benches")
         try:
-            extra = kernel_benches(small)
+            extra.update(kernel_benches(small))
         except Exception as e:  # noqa: BLE001 — never lose the headline
             note(f"kernel benches failed: {e}")
+
+    # Paper-recipe config (reference README.md:59: res 70, batch 8) as a
+    # tracked sub-benchmark — run in a subprocess so its engine/compile
+    # caches and HBM buffers can't perturb the headline measurement.
+    # Default on for the full driver run only; BENCH_R70=0 disables.
+    if (
+        not small
+        and res != 70
+        and os.environ.get("BENCH_R70", "1") == "1"
+    ):
+        note("res-70/bs-8 sub-benchmark (paper recipe)")
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ)
+        env.update(
+            BENCH_RES="70", BENCH_BATCH="8", BENCH_KERNELS="0",
+            BENCH_R70="0", BENCH_SET="grad_accum=2,remat=True",
+        )
+        try:
+            r = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1500,
+            )
+            sub = json.loads(r.stdout.strip().splitlines()[-1])
+            extra["train_step_res70_bs8"] = sub["value"]
+            extra["res70_compile_s"] = sub.get("extra", {}).get("compile_s")
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            note(f"res-70 sub-benchmark failed: {e}")
 
     print(
         json.dumps(

@@ -381,6 +381,19 @@ def _white_composite(images_nxhxwx4: np.ndarray):
     return rgb * mask + (1.0 - mask), mask
 
 
+def project_faces_np(scene: TetScene, params, cam) -> np.ndarray:
+    """Host-side (F, 3, 2) screen-space faces for one camera — numpy twin
+    of camera.perspective (eager per-op dispatch over a remote TPU tunnel
+    costs ~minutes per view)."""
+    pts = np.asarray(scene.points_px3) + np.asarray(params["mov"])
+    pts = scene.coef * pts
+    rot, pos, proj = cam
+    p = (pts - np.asarray(pos)[0]) @ np.asarray(rot)[0].T
+    xyz = p * np.asarray(proj).reshape(1, 3)
+    img = xyz[:, :2] / xyz[:, 2:3]
+    return img[scene.faces_fx3]
+
+
 def calibrate_bin_cand(
     scene: TetScene,
     params,
@@ -389,7 +402,6 @@ def calibrate_bin_cand(
     grid: np.ndarray,
     n_pix: int,
     cfg: RenderOptConfig,
-    rng: np.random.Generator,
     margin: float = 1.5,
 ) -> int:
     """Measured candidate budget for binned training renders.
@@ -399,6 +411,11 @@ def calibrate_bin_cand(
     bbox-overlap count (rounded to 512) — the budget that makes the
     binned raster exact for tiles like these.  Returns 0 (binning off)
     when culling can't win (small scenes or budget ~ face count).
+
+    Uses its own seed-derived rng (NOT the training stream) so the
+    training view/pixel sequence is identical between bin_cand=-1 and
+    bin_cand=0/explicit runs with the same seed — A/B comparisons of the
+    binning feature stay reproducible.
     """
     from .raster import bin_overlap_max_np
 
@@ -407,17 +424,10 @@ def calibrate_bin_cand(
         return 0
     if cfg.bin_cand > 0:
         return cfg.bin_cand
-    # host-side projection (numpy twin of camera.perspective): eager
-    # per-op dispatch over a remote TPU tunnel costs ~minutes per view.
-    pts = np.asarray(scene.points_px3 + np.asarray(params["mov"]))
-    pts = scene.coef * pts
+    rng = np.random.default_rng(cfg.seed ^ 0x5EEDCA1B)
     worst = 0
     for v in views:
-        rot, pos, proj = cams[int(v)]
-        p = (pts - np.asarray(pos)[0]) @ np.asarray(rot)[0].T
-        xyz = p * np.asarray(proj).reshape(1, 3)
-        img = xyz[:, :2] / xyz[:, 2:3]
-        face_img = img[scene.faces_fx3]  # (F, 3, 2)
+        face_img = project_faces_np(scene, params, cams[int(v)])
         pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
                           replace=False)
         worst = max(
@@ -559,14 +569,15 @@ def optimize_stage(
 
     def _calibrated_cfg():
         cand = calibrate_bin_cand(
-            scene, params, cams, i_train[:3], grid, n_pix, cfg, rng
+            scene, params, cams, i_train[:3], grid, n_pix, cfg
         )
         if log and cand != cfg.bin_cand:
             log(f"[bin] candidate budget {cand or 'off'} "
                 f"(faces {scene.faces_fx3.shape[0]})")
         return dataclasses.replace(cfg, bin_cand=cand)
 
-    step_fn = make_render_step(scene, weights, gridmov, _calibrated_cfg(),
+    cal_cfg = _calibrated_cfg()
+    step_fn = make_render_step(scene, weights, gridmov, cal_cfg,
                                opt_feat, opt_mov)
     history = []
     video_frames = []
@@ -586,11 +597,17 @@ def optimize_stage(
                     f"step {i}/{steps}; ending stage early")
             break
         if i > 0 and (i % cfg.delete_every == cfg.delete_every - 1):
-            if scene.carve(params, cfg.delete_threshold,
-                           neighbor_levels=cfg.carve_dilation):
+            carved = scene.carve(params, cfg.delete_threshold,
+                                 neighbor_levels=cfg.carve_dilation)
+            # Vertices drift via params['mov'] during the stage, so the
+            # stage-start overlap bound can be exceeded mid-stage even
+            # with unchanged topology — recalibrate at every carve
+            # boundary and re-jit when either changed.
+            new_cfg = _calibrated_cfg()
+            if carved or new_cfg.bin_cand != cal_cfg.bin_cand:
+                cal_cfg = new_cfg
                 step_fn = make_render_step(
-                    scene, weights, gridmov, _calibrated_cfg(), opt_feat,
-                    opt_mov,
+                    scene, weights, gridmov, cal_cfg, opt_feat, opt_mov,
                 )
         view = int(i_train[rng.integers(len(i_train))])
         pick = rng.choice(h * w, size=n_pix, replace=False)
@@ -617,6 +634,25 @@ def optimize_stage(
     if video_path:
         _snap()
         write_video(video_frames, video_path, fps=8)
+    if cal_cfg.bin_cand and gridmov:
+        # Silent-approximation tripwire: vertices moved since the last
+        # calibration, so re-measure the overlap bound on the FINAL
+        # params — an overflow here means late-stage gradients flowed
+        # through a face-dropping raster.
+        from .raster import bin_overlap_max_np
+
+        worst = max(
+            bin_overlap_max_np(
+                project_faces_np(scene, params, cams[int(v)]),
+                grid[rng.choice(h * w, size=n_pix, replace=False)],
+                cfg.bin_pixel_chunk,
+            )
+            for v in i_train[:2]
+        )
+        if worst > cal_cfg.bin_cand and log:
+            log(f"[bin] WARNING: end-of-stage overlap {worst} exceeds the "
+                f"calibrated budget {cal_cfg.bin_cand}; late-stage "
+                f"training renders were approximate")
     return params, history
 
 

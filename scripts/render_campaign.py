@@ -242,7 +242,7 @@ def main() -> int:
         name = f"sub{sub}-{'mov' if gridmov else 'fix'}"
         log(f"=== stage {name}: {steps} steps, "
             f"{stage_deadline - now:.0f}s share ===")
-        params, _ = optimize_stage(
+        params, history = optimize_stage(
             scene, params, images, poses, hwf, i_train, cfg,
             gridmov=gridmov, steps=steps, log=log,
             lr_div=float(sub + 1), deadline=stage_deadline,
@@ -256,9 +256,13 @@ def main() -> int:
         tr_mse, tr_psnr = evaluate_psnr(
             scene, params, images, poses, hwf, i_train[:8], cfg
         )
+        # steps_done vs steps_planned: deadline-sharing trades steps for
+        # stages silently otherwise — quality numbers must be attributable
+        # to how much optimization each stage actually got.
         records.append(
             {"stage": name, "mse": mse, "psnr": psnr,
              "train_psnr": tr_psnr, "n_tets": scene.n_tets,
+             "steps_done": len(history), "steps_planned": steps,
              "wall_s": round(time.monotonic() - t0, 1)}
         )
         log(f"[{name}] test psnr={psnr:.2f} train psnr={tr_psnr:.2f} "
