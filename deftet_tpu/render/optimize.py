@@ -656,6 +656,35 @@ def optimize_stage(
     return params, history
 
 
+def calibrate_eval_bin_cand(
+    scene: TetScene,
+    params,
+    cam,
+    grid: np.ndarray,
+    pixel_chunk: int,
+) -> int:
+    """Exact candidate budget for a full-frame render of one pose.
+
+    The former auto heuristic (F//4 clamped to 65536) sits at/below the
+    measured worst per-strip overlap on post-subdivision scenes, and
+    candidate overflow silently drops the highest-indexed faces — so
+    reported test PSNR could be computed on an approximate render with
+    no warning.  This measures the true worst overlap for exactly these
+    pixels via the host oracle and rounds UP to a multiple of 8192
+    (vertices don't move during eval, so the bound is exact; rounding
+    buckets the jit cache across poses/frames).
+    """
+    from .raster import bin_overlap_max_np
+
+    f = int(scene.faces_fx3.shape[0])
+    if f <= 4096:
+        return 0
+    face_img = project_faces_np(scene, params, cam)
+    worst = bin_overlap_max_np(face_img, grid, pixel_chunk)
+    cand = -(-max(worst, 1) // 8192) * 8192
+    return 0 if cand >= f else cand
+
+
 def render_full_image(
     scene: TetScene,
     params,
@@ -669,6 +698,11 @@ def render_full_image(
     pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
     grid = pixel_grid(h, w)
+    bin_cand = cfg.bin_cand
+    if bin_cand < 0:
+        bin_cand = calibrate_eval_bin_cand(
+            scene, params, (rot, pos, proj), grid, pixel_chunk=2048
+        )
     # Frames are rendered in device-call chunks: the differentiable
     # replay materializes (pix, k, 3, C)-shaped gathers, so a whole
     # 400^2 frame at k=120 in one call is a ~20 GB allocation.  Within
@@ -680,7 +714,7 @@ def render_full_image(
         c, m = scene.render(
             params, pix, jnp.asarray(rot), jnp.asarray(pos),
             jnp.asarray(proj), k=cfg.k, chunk=cfg.raster_chunk,
-            pixel_chunk=2048, bin_cand=cfg.bin_cand,
+            pixel_chunk=2048, bin_cand=bin_cand,
         )[:2]
         colors.append(np.asarray(c[0]))
         masks.append(np.asarray(m[0]))

@@ -49,6 +49,20 @@ from ..ops.tiling import chunked_scan_reduce, pad_axis, query_tiled
 _NEG = -1.0e10
 
 
+def _topk_desc(vals, k: int):
+    """Exact descending top-k (values, positions).
+
+    ``lax.approx_max_k`` at ``recall_target=1.0`` is exact and lowers to
+    the TPU-native PartialReduce top-k instead of a full per-row sort —
+    the hit pass calls this once per (pixel tile, face chunk), so at
+    full-frame scale (~5k calls of a (2048, k+chunk) merge per frame)
+    the sort-vs-partial-reduce difference dominates the render cost.
+    Tie order between equal values is unspecified (ties only occur at
+    the _NEG empty-slot sentinel, whose order is irrelevant).
+    """
+    return jax.lax.approx_max_k(vals, k, recall_target=1.0)
+
+
 def _edge(ax, ay, bx, by, px, py):
     """2D cross product (b - a) x (p - a)."""
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
@@ -108,10 +122,10 @@ def _hit_topk_ids(
         ok = inside & in_range & (ids >= 0)
         z = jnp.where(ok, z, _NEG)
         ids = jnp.where(ok, ids, -1)
-        # merge with running top-k (concat then top_k on z)
+        # merge with running top-k (concat then exact partial-reduce)
         all_z = jnp.concatenate([best_z, z], axis=1)
         all_i = jnp.concatenate([best_i, ids], axis=1)
-        top_z, pos = jax.lax.top_k(all_z, k)
+        top_z, pos = _topk_desc(all_z, k)
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_z, top_i
 
@@ -162,17 +176,19 @@ def _tile_candidates(
     jax.jit, static_argnames=("chunk", "k", "n_cand")
 )
 def _hit_topk_binned(
-    pixrange_px4, face_z_fx3, face_img_fx3x2, chunk: int, k: int,
-    n_cand: int
+    pixrange_px4, face_z_fx3, face_img_fx3x2, fmin_fx2, fmax_fx2,
+    chunk: int, k: int, n_cand: int
 ):
     """Binned hit pass for ONE pixel tile: cull faces by the tile's
-    screen bbox, then scan candidates only."""
+    screen bbox, then scan candidates only.  Face bboxes are computed
+    once by the caller (they are tile-invariant; recomputing per tile
+    reads the full (F, 3, 2) array per tile — ~2.8 GB/frame at 1.5M
+    faces)."""
     pix = pixrange_px4[..., :2]
     ranges = pixrange_px4[..., 2:]
-    fmin = jnp.min(face_img_fx3x2, axis=1)  # (F, 2)
-    fmax = jnp.max(face_img_fx3x2, axis=1)
     cand, _ = _tile_candidates(
-        jnp.min(pix, axis=0), jnp.max(pix, axis=0), fmin, fmax, n_cand
+        jnp.min(pix, axis=0), jnp.max(pix, axis=0), fmin_fx2, fmax_fx2,
+        n_cand,
     )
     safe = jnp.maximum(cand, 0)
     z_c = face_z_fx3[safe]
@@ -298,9 +314,12 @@ def deftet_sparse_render(
         )
 
         def select(z_fx3, img_fx3x2):
+            fmin = jnp.min(img_fx3x2, axis=1)  # (F, 2) — tile-invariant
+            fmax = jnp.max(img_fx3x2, axis=1)
             out = query_tiled(
                 lambda pc_rc: _hit_topk_binned(
-                    pc_rc, z_fx3, img_fx3x2, chunk, k, bin_cand
+                    pc_rc, z_fx3, img_fx3x2, fmin, fmax, chunk, k,
+                    bin_cand,
                 ),
                 packed,
                 pixel_chunk,
