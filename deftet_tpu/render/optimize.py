@@ -189,38 +189,32 @@ def make_synthetic_scene(
     return images, poses, (height, width, focal), splits
 
 
-def make_nerf_protocol_scene(
-    n_train: int = 100,
-    n_test_pool: int = 200,
-    testskip: int = 8,
-    n_val: int = 8,
-    height: int = 400,
-    width: int = 400,
-    radius: float = 4.0,
+def protocol_scene_mesh(
     seed: int = 0,
-    coef: float = 2.5,
-    camera_angle_x: float = 0.6911112,
-    elevation_range: Tuple[float, float] = (-80.0, -5.0),
-    pix_chunk: int = 20000,
     n_shapes: int = 3,
-    gt_k: int = 16,
+    coef: float = 2.5,
+    half_extent: Optional[float] = None,
 ):
-    """Procedural GT at the NeRF-synthetic capture protocol.
+    """The procedural GT mesh behind `make_nerf_protocol_scene`.
 
-    Matches the protocol of the reference's training data loader
-    (2_data/load_blender.py): 400x400 frames (the half-res of the 800^2
-    captures, :101-113), RGBA images whose consumer composites onto a
-    white background, camera_angle_x-derived focal (:91-92), spherical
-    poses with varying elevation (the blender train split samples random
-    upper-hemisphere poses; pose_spherical :45-52), 100 train views, and
-    a 200-pose test pool consumed every ``testskip`` (the loader's
-    testskip knob, :70-74).  The scene content is procedural (no
-    NeRF-synthetic data ships on this machine): a union of ``n_shapes``
-    random closed meshes with position-varying vertex colors, rendered
-    to GT through this renderer at a deep peel budget.
+    Returns (verts (V,3) float32 world-scale, faces (F,3) int32,
+    feat_logits (V,4) float32 [alpha, rgb]) — exposed so probes can test
+    against the exact geometry/colors the cached protocol scenes were
+    rendered from.  The rng draw order here is load-bearing: it must
+    match what make_nerf_protocol_scene historically did, or cached
+    scene images (e.g. /tmp/render_q8/scene_cache.npz) stop
+    corresponding to the returned mesh.
 
-    Returns the `load_blender` interface: (images (N,H,W,4), poses,
-    (H,W,focal), [i_train, i_val, i_test]).
+    ``half_extent`` sets the world half-width the mesh union is scaled
+    into.  It MUST match the reconstruction grid's world box: quartet
+    .tet grids (e.g. the reference's cube_40_tet.tet) center to
+    [-0.5, 0.5] so their world box is coef * 0.5 = 1.25, while the Kuhn
+    lattice spans [-1, 1] (world box coef * 1.0).  The historical
+    default (None -> 0.95 * coef) assumed the lattice; the round-3 q8
+    campaign ran it against the .tet grid, leaving 73% of GT mesh
+    vertices OUTSIDE the reconstruction volume — an unrepresentable
+    scene and the root cause of its 7.6-PSNR deficit vs the reference
+    artifact.  Campaign drivers must pass the grid-derived extent.
     """
     from ..data.shapes import random_shape
 
@@ -241,14 +235,71 @@ def make_nerf_protocol_scene(
     verts -= (verts.max(0) + verts.min(0)) / 2.0
     verts *= 0.95 / np.abs(verts).max()
     faces = np.concatenate(faces_list).astype(np.int32)
-    verts = (verts * coef).astype(np.float32)
+    scale = coef if half_extent is None else half_extent / 0.95
+    verts = (verts * scale).astype(np.float32)
     # position-varying colors, distinct phase per shape
     phase = np.concatenate(
         [np.full((v.shape[0], 3), rng.uniform(-1.5, 1.5, 3), np.float32)
          for v in verts_list]
     )
     color_logits = np.tanh(np.sin(verts * 2.5 + phase) * 2.0) * 3.0
+    feat = np.concatenate(
+        [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits], axis=1
+    )
+    return verts, faces, feat
+
+
+def make_nerf_protocol_scene(
+    n_train: int = 100,
+    n_test_pool: int = 200,
+    testskip: int = 8,
+    n_val: int = 8,
+    height: int = 400,
+    width: int = 400,
+    radius: float = 4.0,
+    seed: int = 0,
+    coef: float = 2.5,
+    camera_angle_x: float = 0.6911112,
+    elevation_range: Tuple[float, float] = (-80.0, -5.0),
+    pix_chunk: int = 20000,
+    n_shapes: int = 3,
+    gt_k: int = 16,
+    half_extent: Optional[float] = None,
+):
+    """Procedural GT at the NeRF-synthetic capture protocol.
+
+    ``half_extent``: world half-width the scene is scaled into — MUST
+    match the reconstruction grid's world box (see protocol_scene_mesh).
+
+    Matches the protocol of the reference's training data loader
+    (2_data/load_blender.py): 400x400 frames (the half-res of the 800^2
+    captures, :101-113), RGBA images whose consumer composites onto a
+    white background, camera_angle_x-derived focal (:91-92), spherical
+    poses with varying elevation (the blender train split samples random
+    upper-hemisphere poses; pose_spherical :45-52), 100 train views, and
+    a 200-pose test pool consumed every ``testskip`` (the loader's
+    testskip knob, :70-74).  The scene content is procedural (no
+    NeRF-synthetic data ships on this machine): a union of ``n_shapes``
+    random closed meshes with position-varying vertex colors, rendered
+    to GT through this renderer at a deep peel budget.
+
+    Returns the `load_blender` interface: (images (N,H,W,4), poses,
+    (H,W,focal), [i_train, i_val, i_test]).
+    """
+    verts, faces, feat = protocol_scene_mesh(seed, n_shapes, coef,
+                                             half_extent)
     focal = 0.5 * width / np.tan(0.5 * camera_angle_x)
+
+    # pose rng continues from where the mesh builder's draws left off —
+    # same stream, same order as the original inline implementation
+    rng = np.random.default_rng(seed)
+    rng.random()          # historical draw order: per-shape scale,
+    rng.uniform(-0.45, 0.45, size=3)  # center, then phases (n_shapes x)
+    for _ in range(n_shapes - 1):
+        rng.random()
+        rng.uniform(-0.45, 0.45, size=3)
+    for _ in range(n_shapes):
+        rng.uniform(-1.5, 1.5, 3)
 
     def draw_poses(n):
         thetas = rng.uniform(-180.0, 180.0, size=n)
@@ -269,9 +320,6 @@ def make_nerf_protocol_scene(
 
     verts_j = jnp.asarray(verts)
     faces_j = jnp.asarray(faces)
-    feat = np.concatenate(
-        [np.full((verts.shape[0], 1), 8.0, np.float32), color_logits], axis=1
-    )
     face_feat = vertex2face(jax.nn.sigmoid(jnp.asarray(feat))[None], faces_j)
 
     grid = pixel_grid(height, width)

@@ -128,10 +128,27 @@ def main() -> int:
         log(f"scene loaded from cache {cache}")
     else:
         if args.scene == "nerf":
+            # Fit the GT scene inside the grid's ACTUAL world box:
+            # quartet .tet grids center to [-0.5, 0.5] (world box
+            # coef*0.5), the Kuhn lattice to [-1, 1].  Assuming the
+            # lattice box for a .tet grid leaves most of the scene
+            # outside the reconstruction volume (the round-3 q8 bug).
+            if args.tet_file and not args.tetres:
+                import numpy as np
+
+                grid_half = float(
+                    np.abs(read_tet_file(args.tet_file)
+                           .centered_vertices()).max())
+            else:
+                grid_half = 1.0
+            half_extent = 0.95 * args.tetcoef * grid_half
+            log(f"scene half-extent {half_extent:.3f} "
+                f"(grid half {grid_half:.3f} x coef {args.tetcoef})")
             images, poses, hwf, i_split = make_nerf_protocol_scene(
                 n_train=args.n_views, testskip=args.testskip,
                 height=args.image_size, width=args.image_size,
                 seed=args.seed, coef=args.tetcoef,
+                half_extent=half_extent,
             )
         else:
             images, poses, hwf, i_split = make_synthetic_scene(
