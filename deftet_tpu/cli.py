@@ -35,15 +35,32 @@ def _maybe_force_platform() -> None:
 def _split(dataset: ShapeDataset, batch_size: int):
     """Train/val split; the val split is always >= one full batch.
 
+    Val shapes are picked at a uniform stride through the (sorted) path
+    list rather than as a contiguous prefix: shard names sort by
+    category (the ShapeNet class-dir convention), so a prefix val split
+    holds out exactly one category and the per-category eval table
+    degenerates to a single row (the round-3 hard-geometry run).  The
+    stride spreads the holdout across every category.
+
     With fewer than 2 batches of shapes total, val reuses training shapes
     (small smoke runs) rather than silently validating on nothing.
     """
-    n_val = max(batch_size, len(dataset) // 8)
-    if len(dataset) >= n_val + batch_size:
-        train_paths = dataset.paths[n_val:]
+    n = len(dataset)
+    n_val = max(batch_size, n // 8)
+    stride = max(1, n // n_val)
+    val_idx = list(range(0, n, stride))[:n_val]
+    # top up if the stride undershot (n not divisible)
+    rest = [i for i in range(n) if i not in set(val_idx)]
+    val_idx += rest[: n_val - len(val_idx)]
+    val_set = set(val_idx)
+    val_paths = [dataset.paths[i] for i in sorted(val_set)]
+    if n >= n_val + batch_size:
+        train_paths = [
+            p for i, p in enumerate(dataset.paths) if i not in val_set
+        ]
     else:
         train_paths = dataset.paths
-    return ShapeDataset(train_paths), ShapeDataset(dataset.paths[:n_val])
+    return ShapeDataset(train_paths), ShapeDataset(val_paths)
 
 
 def _dataset(config: TrainConfig) -> ShapeDataset:

@@ -409,6 +409,13 @@ class RenderOptConfig:
     # (replay memory scales with pix_chunk x k; 16384 x k=300 stays
     # under ~250 MB while cutting host round trips per frame to ~10)
     eval_pix_chunk: int = 16384
+    # Host-binned full-frame fast path (render/frame.py): screen tile
+    # width in pixels; 0 disables (falls back to the pixel-chunked
+    # in-jit path).  Only budgets adapt per tile — the render is exact.
+    frame_tile: int = 16
+    # Below this face count the in-jit path's single compile beats the
+    # host-binned path's per-bucket executables.
+    frame_min_faces: int = 8192
     # Post-subdivision tet budget (0 = unlimited = exact reference
     # semantics).  The reference subdivides EVERY alive tet between
     # sublevels (subdivision(None), optim...py:518-521) and relies on the
@@ -745,6 +752,21 @@ def render_full_image(
     h, w, focal = hwf
     pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
+    n_faces = int(scene.faces_fx3.shape[0])
+    if cfg.frame_tile and n_faces >= cfg.frame_min_faces:
+        from .frame import render_frame_binned
+        from .scene import _face_arrays_jit
+
+        face_z, face_img, face_feat = _face_arrays_jit(
+            jnp.asarray(scene.points_px3), params["mov"], params["feat"],
+            jnp.asarray(scene.faces_fx3), scene.coef,
+            jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj),
+        )
+        face_img_np = project_faces_np(scene, params, (rot, pos, proj))
+        return render_frame_binned(
+            face_z, face_img, face_feat, face_img_np, h, w,
+            k=cfg.k, chunk=cfg.raster_chunk, tile=cfg.frame_tile,
+        )
     grid = pixel_grid(h, w)
     bin_cand = cfg.bin_cand
     if bin_cand < 0:

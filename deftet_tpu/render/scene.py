@@ -42,6 +42,19 @@ _render_mesh_color_jit = jax.jit(
 )
 
 
+@jax.jit
+def _face_arrays_jit(points_px3, mov, feat, faces_fx3, coef, rot, pos, proj):
+    """(face_z (F,3), face_img (F,3,2), face_feat (F,3,C)) for one view —
+    the device-side inputs of the host-binned frame renderer."""
+    pts = coef * (points_px3 + mov)
+    cam_pts, img_xy = perspective(pts[None], rot, pos, proj)
+    feat_act = jax.nn.sigmoid(feat)
+    face_z = cam_pts[0, :, 2][faces_fx3]
+    face_img = img_xy[0][faces_fx3]
+    face_feat = feat_act[faces_fx3]
+    return face_z, face_img, face_feat
+
+
 def build_render_faces(tets: np.ndarray, n_point: int) -> np.ndarray:
     """All unique faces (interior + hull) of a tet list.
 
@@ -96,6 +109,11 @@ class TetScene:
         # campaign would otherwise accumulate unbounded compile-cache
         # entries in the module-level jit.
         _render_mesh_color_jit.clear_cache()
+        _face_arrays_jit.clear_cache()
+        from .frame import _bucket_hit, _replay_composite
+
+        _bucket_hit.clear_cache()
+        _replay_composite.clear_cache()
         self.faces_fx3 = build_render_faces(self.tets_tx4, n)
         self.adj_idx, self.adj_mask, self.adj_deg = build_vertex_adjacency(
             self.tets_tx4, n

@@ -1,0 +1,118 @@
+"""Host-binned full-frame renderer (render/frame.py) — exactness tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deftet_tpu.render.frame import (
+    build_frame_bins,
+    render_frame_binned,
+    tile_pixel_layout,
+)
+from deftet_tpu.render.optimize import (
+    RenderOptConfig,
+    pixel_grid,
+    render_full_image,
+)
+from deftet_tpu.render.scene import TetScene
+from deftet_tpu.tetgrid import build_tet_grid
+
+
+def test_tile_pixel_layout_covers_frame():
+    for h, w, t in ((32, 32, 16), (30, 20, 16), (7, 9, 4)):
+        pix_idx, (ny, nx) = tile_pixel_layout(h, w, t)
+        assert pix_idx.shape == (ny * nx, t * t)
+        seen = np.zeros(h * w, bool)
+        seen[pix_idx.reshape(-1)] = True
+        assert seen.all()  # every pixel assigned to some tile
+        # a tile's pixels all belong to its rectangle
+        for tid in range(ny * nx):
+            ys, xs = pix_idx[tid] // w, pix_idx[tid] % w
+            ty, tx = tid // nx, tid % nx
+            assert (ys // t == ty).all() and (xs // t == tx).all()
+
+
+def test_build_frame_bins_counts_match_bruteforce():
+    rng = np.random.default_rng(0)
+    h = w = 32
+    tile = 8
+    f = 200
+    centers = rng.uniform(-1.1, 1.1, (f, 1, 2))
+    tri = centers + rng.normal(0, 0.15, (f, 3, 2))
+    bins = build_frame_bins(tri.astype(np.float32), h, w, tile,
+                            min_budget=4)
+    # reassemble per-tile candidate sets
+    got = {}
+    for budget, (ids, cand) in bins.items():
+        for i, t in enumerate(ids):
+            got[int(t)] = set(int(c) for c in cand[i] if c >= 0)
+    # brute force: face bbox must contain some pixel center of the tile
+    grid = pixel_grid(h, w).reshape(h, w, 2)
+    fmin, fmax = tri.min(1), tri.max(1)
+    nx = -(-w // tile)
+    for ty in range(-(-h // tile)):
+        for tx in range(nx):
+            cell = grid[ty * tile: (ty + 1) * tile,
+                        tx * tile: (tx + 1) * tile].reshape(-1, 2)
+            want = set()
+            for i in range(f):
+                inx = (cell[:, 0] >= fmin[i, 0]) & (cell[:, 0] <= fmax[i, 0])
+                iny = (cell[:, 1] >= fmin[i, 1]) & (cell[:, 1] <= fmax[i, 1])
+                if (inx & iny).any():
+                    want.add(i)
+            have = got.get(ty * nx + tx, set())
+            # eps-expanded bboxes may ADD faces; they must never drop one
+            assert want <= have, (ty, tx, want - have)
+
+
+def test_frame_path_matches_pixel_chunk_path():
+    """The host-binned frame render equals the in-jit pixel-chunked
+    path on a real tet scene (same hit kernel, adaptive budgets only)."""
+    grid = build_tet_grid(5)
+    scene = TetScene.from_grid(grid, coef=2.5)
+    params = scene.init_params()
+    rng = np.random.default_rng(3)
+    params = {
+        "mov": jnp.asarray(
+            rng.normal(0, 0.02, params["mov"].shape).astype(np.float32)),
+        "feat": jnp.asarray(
+            rng.normal(0, 2.0, params["feat"].shape).astype(np.float32)),
+    }
+    h = w = 48
+    focal = 0.5 * w / np.tan(0.5 * 0.69)
+    from deftet_tpu.render.camera import pose_spherical
+
+    pose = pose_spherical(30.0, -25.0, 4.0)
+    hwf = (h, w, focal)
+    base = RenderOptConfig(k=8, raster_chunk=256, seed=0)
+
+    import dataclasses
+
+    cfg_frame = dataclasses.replace(base, frame_tile=16, frame_min_faces=1)
+    cfg_ref = dataclasses.replace(base, frame_tile=0)
+    c_new, m_new = render_full_image(scene, params, pose, hwf, cfg_frame)
+    c_ref, m_ref = render_full_image(scene, params, pose, hwf, cfg_ref)
+    np.testing.assert_allclose(c_new, c_ref, atol=2e-5)
+    np.testing.assert_allclose(m_new, m_ref, atol=2e-5)
+    assert m_new.max() > 0.5  # scene actually rendered something
+
+
+def test_frame_path_nondivisible_frame():
+    """Edge tiles (h, w not multiples of tile) render every pixel."""
+    grid = build_tet_grid(4)
+    scene = TetScene.from_grid(grid, coef=2.5)
+    params = scene.init_params()
+    h, w = 22, 26
+    focal = 0.5 * w / np.tan(0.5 * 0.69)
+    from deftet_tpu.render.camera import pose_spherical
+
+    pose = pose_spherical(75.0, -40.0, 4.0)
+    hwf = (h, w, focal)
+    import dataclasses
+
+    base = RenderOptConfig(k=6, raster_chunk=256, seed=0)
+    cfg_frame = dataclasses.replace(base, frame_tile=16, frame_min_faces=1)
+    cfg_ref = dataclasses.replace(base, frame_tile=0)
+    c_new, m_new = render_full_image(scene, params, pose, hwf, cfg_frame)
+    c_ref, m_ref = render_full_image(scene, params, pose, hwf, cfg_ref)
+    np.testing.assert_allclose(c_new, c_ref, atol=2e-5)
+    np.testing.assert_allclose(m_new, m_ref, atol=2e-5)
