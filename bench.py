@@ -97,7 +97,7 @@ def kernel_benches(small: bool) -> dict:
     # against a post-carve face count, full k-peel, production binned
     # path (screen-space candidate culling at a realistic budget)
     PIX, F, K = (256, 1024, 8) if small else (6400, 100_000, 120)
-    PC, CAND = (64, 256) if small else (512, 16384)
+    PC = 64 if small else 512
     pix = rng.uniform(-1, 1, (1, PIX, 2)).astype(np.float32)
     ranges = np.concatenate(
         [np.full((1, PIX, 1), -1000.0), np.zeros((1, PIX, 1))], axis=-1
@@ -106,6 +106,13 @@ def kernel_benches(small: bool) -> dict:
         -0.05, 0.05, (1, F, 3, 2)
     )
     face_img = tri.astype(np.float32)
+    # Calibrate the candidate budget on THIS scene (as production does)
+    # instead of a fixed 16384 — a fixed budget can overflow on the
+    # random spread and silently measure a face-dropping render.
+    from deftet_tpu.render.raster import bin_overlap_max_np
+
+    worst = bin_overlap_max_np(face_img[0], pix[0], PC)
+    CAND = max(256, -(-worst // 512) * 512)
     face_z = rng.uniform(-6.0, -2.0, (1, F, 3)).astype(np.float32)
     face_feat = rng.uniform(0, 1, (1, F, 3, 4)).astype(np.float32)
     args = [jnp.asarray(a) for a in (pix, ranges, face_z, face_img,

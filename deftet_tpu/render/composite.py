@@ -69,6 +69,7 @@ def render_mesh_color(
     chunk: int = 1024,
     pixel_chunk: int = 8192,
     bin_cand: int = 0,
+    bin_sort: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Full render: per-vertex RGBA logits -> composited image.
 
@@ -91,6 +92,7 @@ def render_mesh_color(
     layers, _ = deftet_sparse_render(
         pixel_xy_1xpx2, pixel_range_1xpx2, face_z, face_img, face_feat,
         k=k, chunk=chunk, pixel_chunk=pixel_chunk, bin_cand=bin_cand,
+        bin_sort=bin_sort,
     )
     if depth:
         im_depth = layers[..., :1]

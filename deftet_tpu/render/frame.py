@@ -76,7 +76,7 @@ def build_frame_bins(
     h: int,
     w: int,
     tile: int = 16,
-    min_budget: int = 512,
+    min_budget: int = 4096,
 ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Exact per-tile candidate lists, grouped into pow-2 budget buckets.
 
@@ -127,12 +127,19 @@ def build_frame_bins(
     counts = np.bincount(tidx, minlength=ny * nx)
     starts = np.concatenate([[0], np.cumsum(counts)])
 
-    # group non-empty tiles into pow-2 budget buckets
+    # Group non-empty tiles into power-of-FOUR budget buckets (floored
+    # at min_budget): coarser than pow-2 wastes <=4x scan work on the
+    # boundary tiles, but each distinct budget is one more compiled
+    # executable per topology — and at TPU compile costs (tens of
+    # seconds each over the remote service) 3 kernels beat 7 long
+    # before the extra scan work matters.
     buckets: Dict[int, Tuple[List[int], List[np.ndarray]]] = {}
     nonempty = np.nonzero(counts)[0]
     for t in nonempty:
         c = int(counts[t])
-        budget = max(min_budget, 1 << (c - 1).bit_length())
+        budget = min_budget
+        while budget < c:
+            budget *= 4
         ids, lists = buckets.setdefault(budget, ([], []))
         ids.append(int(t))
         lists.append(pairs_face[starts[t]: starts[t] + c])

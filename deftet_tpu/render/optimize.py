@@ -400,6 +400,15 @@ class RenderOptConfig:
     # pixels spans bin_pixel_chunk/n_sampled of the screen's rows, and
     # the per-tile candidate count scales with that strip height.
     bin_pixel_chunk: int = 512
+    # Train on whole random WxW screen tiles instead of iid pixels
+    # (0 = iid, the reference's pixelsampling semantics).  Same pixel
+    # budget per step, but each bin tile is a compact screen block: at
+    # 1.5M faces a 16x16 block overlaps ~25k faces worst-case vs ~10x
+    # more for the pixel strip the iid sample forces — the q8 campaign's
+    # ~3.6 s/step at sub2 was almost entirely this scan.  Random-crop
+    # training is standard for differentiable rendering; gradients stay
+    # unbiased (every pixel is equally likely per step).
+    tile_sampling: int = 16
     # Pixel-chunk size for FULL-FRAME renders (PSNR eval / turntable
     # export).  Training steps render only the sampled pixel subset; a
     # full frame in one chunk multiplies the raster's live
@@ -449,6 +458,14 @@ def project_faces_np(scene: TetScene, params, cam) -> np.ndarray:
     return img[scene.faces_fx3]
 
 
+def _tile_mode(cfg: RenderOptConfig, h: int, w: int, n_pix: int):
+    """(tile_width, n_tiles) when tile sampling applies, else (0, 0)."""
+    t = cfg.tile_sampling
+    if t and h % t == 0 and w % t == 0 and n_pix >= t * t:
+        return t, max(1, n_pix // (t * t))
+    return 0, 0
+
+
 def calibrate_bin_cand(
     scene: TetScene,
     params,
@@ -458,6 +475,7 @@ def calibrate_bin_cand(
     n_pix: int,
     cfg: RenderOptConfig,
     margin: float = 1.5,
+    hw: Optional[Tuple[int, int]] = None,
 ) -> int:
     """Measured candidate budget for binned training renders.
 
@@ -480,15 +498,30 @@ def calibrate_bin_cand(
     if cfg.bin_cand > 0:
         return cfg.bin_cand
     rng = np.random.default_rng(cfg.seed ^ 0x5EEDCA1B)
+    t, n_tiles = _tile_mode(cfg, *(hw or (0, 1)), n_pix)
+    if t:
+        from .frame import tile_pixel_layout
+
+        layout, _ = tile_pixel_layout(hw[0], hw[1], t)
     worst = 0
     for v in views:
         face_img = project_faces_np(scene, params, cams[int(v)])
-        pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
-                          replace=False)
-        worst = max(
-            worst,
-            bin_overlap_max_np(face_img, grid[pick], cfg.bin_pixel_chunk),
-        )
+        if t:
+            tiles = rng.choice(layout.shape[0], size=n_tiles, replace=False)
+            pick = layout[tiles].reshape(-1)
+            worst = max(
+                worst,
+                bin_overlap_max_np(face_img, grid[pick], t * t,
+                                   sort=False),
+            )
+        else:
+            pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
+                              replace=False)
+            worst = max(
+                worst,
+                bin_overlap_max_np(face_img, grid[pick],
+                                   cfg.bin_pixel_chunk),
+            )
     cand = -(-int(worst * margin) // 512) * 512
     cand = max(cand, 2048)
     if cand >= f:
@@ -503,18 +536,25 @@ def make_render_step(
     cfg: RenderOptConfig,
     opt_feat: optax.GradientTransformation,
     opt_mov: optax.GradientTransformation,
+    pixel_chunk: Optional[int] = None,
+    bin_sort: bool = True,
 ):
-    """Jitted optimization step for the current (static) topology."""
+    """Jitted optimization step for the current (static) topology.
+
+    ``pixel_chunk``/``bin_sort`` override the raster's pixel tiling —
+    tile-sampled training passes its tile size with bin_sort=False so
+    each sampled screen block is one bin tile."""
     w_vec = jnp.asarray(
         weights["weights_vector_with_gridmov" if gridmov else
                 "weights_vector"]
     )
+    pixel_chunk = pixel_chunk or cfg.bin_pixel_chunk
 
     def loss_fn(params, pix_1xpx2, rot, pos, proj, gt_color, gt_mask):
         color, mask = scene.render(
             params, pix_1xpx2, rot, pos, proj, k=cfg.k,
-            chunk=cfg.raster_chunk, pixel_chunk=cfg.bin_pixel_chunk,
-            bin_cand=cfg.bin_cand,
+            chunk=cfg.raster_chunk, pixel_chunk=pixel_chunk,
+            bin_cand=cfg.bin_cand, bin_sort=bin_sort,
         )[:2]
         loss_im = jnp.mean(jnp.abs(color - gt_color))
         loss_mask = jnp.mean(jnp.abs(mask - gt_mask))
@@ -621,10 +661,18 @@ def optimize_stage(
     osm = opt_mov.init({"mov": params["mov"]})
 
     n_pix = max(1, int(cfg.pixel_sampling * h * w))
+    tile_w, n_tiles = _tile_mode(cfg, h, w, n_pix)
+    if tile_w:
+        from .frame import tile_pixel_layout
+
+        tile_layout, _ = tile_pixel_layout(h, w, tile_w)
+        if log:
+            log(f"[tiles] sampling {n_tiles} {tile_w}x{tile_w} blocks "
+                f"per step ({n_tiles * tile_w * tile_w} px)")
 
     def _calibrated_cfg():
         cand = calibrate_bin_cand(
-            scene, params, cams, i_train[:3], grid, n_pix, cfg
+            scene, params, cams, i_train[:3], grid, n_pix, cfg, hw=(h, w)
         )
         if log and cand != cfg.bin_cand:
             log(f"[bin] candidate budget {cand or 'off'} "
@@ -632,8 +680,12 @@ def optimize_stage(
         return dataclasses.replace(cfg, bin_cand=cand)
 
     cal_cfg = _calibrated_cfg()
+    step_kw = dict(
+        pixel_chunk=(tile_w * tile_w if tile_w else None),
+        bin_sort=not tile_w,
+    )
     step_fn = make_render_step(scene, weights, gridmov, cal_cfg,
-                               opt_feat, opt_mov)
+                               opt_feat, opt_mov, **step_kw)
     history = []
     video_frames = []
 
@@ -663,9 +715,15 @@ def optimize_stage(
                 cal_cfg = new_cfg
                 step_fn = make_render_step(
                     scene, weights, gridmov, cal_cfg, opt_feat, opt_mov,
+                    **step_kw,
                 )
         view = int(i_train[rng.integers(len(i_train))])
-        pick = rng.choice(h * w, size=n_pix, replace=False)
+        if tile_w:
+            tiles = rng.choice(tile_layout.shape[0], size=n_tiles,
+                               replace=False)
+            pick = tile_layout[tiles].reshape(-1)
+        else:
+            pick = rng.choice(h * w, size=n_pix, replace=False)
         pix = jnp.asarray(grid[pick])[None]
         gc = jnp.asarray(
             gt_color[view].reshape(-1, 3)[pick]
@@ -696,11 +754,19 @@ def optimize_stage(
         # through a face-dropping raster.
         from .raster import bin_overlap_max_np
 
+        def _probe_pick():
+            if tile_w:
+                tiles = rng.choice(tile_layout.shape[0], size=n_tiles,
+                                   replace=False)
+                return tile_layout[tiles].reshape(-1)
+            return rng.choice(h * w, size=n_pix, replace=False)
+
         worst = max(
             bin_overlap_max_np(
                 project_faces_np(scene, params, cams[int(v)]),
-                grid[rng.choice(h * w, size=n_pix, replace=False)],
-                cfg.bin_pixel_chunk,
+                grid[_probe_pick()],
+                tile_w * tile_w if tile_w else cfg.bin_pixel_chunk,
+                sort=not tile_w,
             )
             for v in i_train[:2]
         )

@@ -209,19 +209,23 @@ def _edge_pad_rows(x, multiple: int):
     )
 
 
-def bin_overlap_max_np(face_img_fx3x2, pix_px2, pixel_chunk: int) -> int:
+def bin_overlap_max_np(
+    face_img_fx3x2, pix_px2, pixel_chunk: int, sort: bool = True
+) -> int:
     """Host-side (numpy) max per-tile bbox-overlap count.
 
     The calibration oracle for ``bin_cand``: any budget >= this value
     makes the binned render exact for these pixels/faces.  Pure numpy —
     per-view TPU dispatch (and its compile) would cost more than the
-    stage it calibrates.
+    stage it calibrates.  ``sort`` must mirror the render's
+    ``bin_sort`` (False = the caller's pixel order defines the tiles).
     """
     import numpy as np
 
     pix = np.asarray(pix_px2, dtype=np.float32)
-    order = np.lexsort((pix[:, 0], pix[:, 1]))
-    pix = pix[order]
+    if sort:
+        order = np.lexsort((pix[:, 0], pix[:, 1]))
+        pix = pix[order]
     n = pix.shape[0]
     target = -(-n // pixel_chunk) * pixel_chunk
     if target != n:
@@ -274,6 +278,7 @@ def deftet_sparse_render(
     chunk: int = 1024,
     pixel_chunk: int = 8192,
     bin_cand: int = 0,
+    bin_sort: bool = True,
 ):
     """Render k depth-peeled feature layers per pixel.
 
@@ -289,6 +294,14 @@ def deftet_sparse_render(
     tile overlaps more than ``bin_cand`` faces (check with
     ``bin_overflow``); prefer ``bin_cand`` ≥ a few × the expected strip
     overlap.
+
+    ``bin_sort=False`` keeps the caller's pixel order: each consecutive
+    ``pixel_chunk`` run of pixels becomes one bin tile as-is.  Callers
+    that sample pixels in compact screen tiles (e.g. whole 16x16 blocks,
+    see optimize's tile sampling) get far tighter tile bboxes than the
+    raster-order sort can make from scattered pixels — at 1.5M faces a
+    16x16 block overlaps ~25k faces worst-case where a strip of the
+    same pixel count overlaps ~10x more.
     """
     pix = pixel_coords_1xpx2[0].astype(jnp.float32)
     ranges = render_ranges_1xpx2[0].astype(jnp.float32)
@@ -306,10 +319,15 @@ def deftet_sparse_render(
     if bin_cand:
         # raster-order sort -> each tile covers a thin screen strip, so
         # the bbox cull bites even for randomly sampled training pixels.
-        order = jnp.lexsort((pix[:, 0], pix[:, 1]))
-        inv = jnp.argsort(order)
+        if bin_sort:
+            order = jnp.lexsort((pix[:, 0], pix[:, 1]))
+            inv = jnp.argsort(order)
+            pix_t, ranges_t = pix[order], ranges[order]
+        else:
+            inv = jnp.arange(p, dtype=jnp.int32)
+            pix_t, ranges_t = pix, ranges
         packed = _edge_pad_rows(
-            jnp.concatenate([pix[order], ranges[order]], axis=-1),
+            jnp.concatenate([pix_t, ranges_t], axis=-1),
             pixel_chunk,
         )
 

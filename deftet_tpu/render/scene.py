@@ -38,7 +38,9 @@ from .composite import render_mesh_color
 # full-frame eval (dozens of views x pixel chunks) into minutes of RTT.
 _render_mesh_color_jit = jax.jit(
     render_mesh_color,
-    static_argnames=("k", "depth", "chunk", "pixel_chunk", "bin_cand"),
+    static_argnames=(
+        "k", "depth", "chunk", "pixel_chunk", "bin_cand", "bin_sort"
+    ),
 )
 
 
@@ -190,6 +192,7 @@ class TetScene:
         chunk: int = 1024,
         pixel_chunk: int = 2048,
         bin_cand: int = -1,
+        bin_sort: bool = True,
     ):
         """Render sampled pixels; returns (color, mask[, depth]).
 
@@ -232,6 +235,7 @@ class TetScene:
             chunk=chunk,
             pixel_chunk=pixel_chunk,
             bin_cand=bin_cand,
+            bin_sort=bin_sort,
         )
 
     # ------------------------------------------------------------------

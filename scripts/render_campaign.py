@@ -54,6 +54,9 @@ def main() -> int:
     p.add_argument("--steps_mov", type=int, default=2000)
     p.add_argument("--steps_fix", type=int, default=3000)
     p.add_argument("--pixel_sampling", type=float, default=0.2)
+    p.add_argument("--tile_sampling", type=int, default=16,
+                   help="train on whole WxW screen tiles (0 = iid "
+                        "pixels, the reference's semantics)")
     p.add_argument("--peel_k", type=int, default=120)
     p.add_argument("--tet_budget", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -173,6 +176,7 @@ def main() -> int:
         tet_res=args.tetres or 40, coef=args.tetcoef,
         sublevels=args.sublevels, steps_fix=args.steps_fix,
         steps_mov=args.steps_mov, pixel_sampling=args.pixel_sampling,
+        tile_sampling=args.tile_sampling,
         k=args.peel_k, tet_budget=args.tet_budget, seed=args.seed,
     )
     if args.resume:
