@@ -124,6 +124,27 @@ def kernel_benches(small: bool) -> dict:
     dt = _timeit(f, sync)
     out["raster_mpix_s"] = round(PIX / dt / 1e6, 3)
 
+    # --- full-frame eval render (host-binned adaptive tiles): one 400^2
+    # frame against the same post-carve face population — the metric the
+    # sub2-stage PSNR evals and video exports pay (round-4 fast path).
+    from deftet_tpu.render.frame import render_frame_binned
+
+    H = W = 64 if small else 400
+
+    def frame():
+        return render_frame_binned(
+            args[2][0], args[3][0], args[4][0],
+            np.asarray(face_img[0]), H, W, k=K, tile=16,
+        )
+
+    frame()  # compile/warm (host binning + bucket kernels)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        frame()
+        times.append(time.perf_counter() - t0)
+    out["frame_mpix_s"] = round(H * W / float(np.median(times)) / 1e6, 3)
+
     # --- fused NN: surface-loss production shape (800k boundary samples
     # x 5k GT points x batch 4)
     B, Q, M = (2, 512, 256) if small else (4, 200_000, 5000)
