@@ -57,6 +57,33 @@ def _timeit(fn, sync, iters: int = 5):
     return float(np.median(times))
 
 
+def _scene_face_arrays(path: str):
+    """(face_z, face_img, face_feat), batched (1, F, ...), for the bundled
+    carved-scene snapshot under a protocol camera (pose_spherical at -30
+    deg elevation, radius 4, NeRF-synthetic intrinsics at 400^2 — the
+    capture protocol of render/optimize.make_nerf_protocol_scene)."""
+    import jax.numpy as jnp
+
+    from deftet_tpu.render.camera import camera_from_blender, pose_spherical
+    from deftet_tpu.render.scene import TetScene, _face_arrays_jit
+
+    scene, params = TetScene.load_state(path)
+    h = w = 400
+    focal = 0.5 * w / np.tan(0.5 * 0.6911112)
+    pose = np.asarray(pose_spherical(30.0, -30.0, 4.0))
+    rot, pos, proj = camera_from_blender(pose, focal, h, w)
+    face_z, face_img, face_feat = _face_arrays_jit(
+        jnp.asarray(scene.points_px3), params["mov"], params["feat"],
+        jnp.asarray(scene.faces_fx3), scene.coef,
+        jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj),
+    )
+    return (
+        np.asarray(face_z)[None],
+        np.asarray(face_img)[None],
+        np.asarray(face_feat)[None],
+    )
+
+
 def kernel_benches(small: bool) -> dict:
     """Hot-kernel throughputs (BASELINE.md north-star: Mtets/s for the
     occupancy point-in-tet query and the rasterizer; plus the fused NN
@@ -144,6 +171,50 @@ def kernel_benches(small: bool) -> dict:
         frame()
         times.append(time.perf_counter() - t0)
     out["frame_mpix_s"] = round(H * W / float(np.median(times)) / 1e6, 3)
+
+    # --- same two metrics on a REAL carved scene when the snapshot asset
+    # is bundled (tests/assets/bench_scene.npz, saved mid-campaign): the
+    # production candidate distribution is clustered silhouettes + empty
+    # sky tiles, which uniform random triangles cannot regress-test —
+    # a binning/budget regression that only manifests on real scenes
+    # moves these and not the synthetic pair.
+    scene_asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "assets", "bench_scene.npz",
+    )
+    if not small and os.path.exists(scene_asset):
+        try:
+            s_z, s_img, s_feat = _scene_face_arrays(scene_asset)
+            s_img_j = jnp.asarray(s_img)
+            s_worst = bin_overlap_max_np(s_img[0], pix[0], PC)
+            s_cand = max(256, -(-s_worst // 512) * 512)
+            s_args = [jnp.asarray(a) for a in (s_z, s_feat)]
+            f = jax.jit(
+                lambda: deftet_sparse_render(
+                    args[0], args[1], s_args[0], s_img_j, s_args[1],
+                    k=K, pixel_chunk=PC, bin_cand=s_cand,
+                )
+            )
+            dt = _timeit(f, sync)
+            out["raster_scene_mpix_s"] = round(PIX / dt / 1e6, 3)
+
+            def scene_frame():
+                return render_frame_binned(
+                    s_args[0][0], s_img_j[0], s_args[1][0],
+                    np.asarray(s_img[0]), H, W, k=K, tile=16,
+                )
+
+            scene_frame()
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                scene_frame()
+                times.append(time.perf_counter() - t0)
+            out["frame_scene_mpix_s"] = round(
+                H * W / float(np.median(times)) / 1e6, 3
+            )
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            print(f"# scene-asset benches failed: {e}", flush=True)
 
     # --- fused NN: surface-loss production shape (800k boundary samples
     # x 5k GT points x batch 4)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.nearest import sided_squared_distance
 from ..ops.tri_distance import point_to_mesh_squared_distance
@@ -431,6 +432,11 @@ def select_boundary_subset_static(
     face list; orientation does not affect distance losses."""
     k = min(max_faces, boundary_mask_bxf.shape[1])
     idx, valid = _compact_indices(boundary_mask_bxf, k)
+    # Named for jax.checkpoint's save_only_these_names policy: the (B, k)
+    # descriptors are tiny, but rebuilding them in the backward re-runs
+    # the whole packed-bit rank/select machinery above.
+    idx = checkpoint_name(idx, "boundary_compact_idx")
+    valid = checkpoint_name(valid, "boundary_compact_valid")
     sel_faces = face_fx3[idx]  # (B, k, 3)
     sel_mask = (
         jnp.take_along_axis(boundary_mask_bxf, idx, axis=1) * valid

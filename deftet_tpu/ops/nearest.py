@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
@@ -105,13 +106,17 @@ def nearest_neighbor(
     if use_pallas:
         from .nearest_pallas import nearest_neighbor_pallas
 
-        return nearest_neighbor_pallas(q, p, n_valid, n_queries=n_queries)
-    d2, idx = jax.vmap(
-        lambda a, b, n: query_tiled(
-            lambda qq: _nn_single(qq, b, n, chunk), a, query_chunk
-        )
-    )(q, p, n_valid)
-    return d2, idx
+        d2, idx = nearest_neighbor_pallas(q, p, n_valid, n_queries=n_queries)
+    else:
+        d2, idx = jax.vmap(
+            lambda a, b, n: query_tiled(
+                lambda qq: _nn_single(qq, b, n, chunk), a, query_chunk
+            )
+        )(q, p, n_valid)
+    # Named for jax.checkpoint's save_only_these_names policy: saving the
+    # (B, P) int32 argmin avoids re-running the O(P x M) scan in the
+    # backward pass under remat (the gradient only needs the gather).
+    return d2, checkpoint_name(idx, "nn_argmin_idx")
 
 
 def sided_squared_distance(

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .tiling import chunked_scan_reduce, pad_axis, query_tiled
 
@@ -159,6 +160,11 @@ def point_to_mesh_squared_distance(
             jax.lax.stop_gradient(tri),
             face_mask_bxf,
         )
+    # Name the argmin result so jax.checkpoint's save_only_these_names
+    # policy can keep it: under whole-loss remat the backward would
+    # otherwise re-run the full O(P x F) argmin scan just to rebuild this
+    # (B, P) int32 — the single most expensive recompute in the step.
+    idx = checkpoint_name(idx, "tri_argmin_idx")
     # Differentiable recompute on the argmin face only.
     best_tri = jnp.take_along_axis(
         tri, idx[:, :, None, None].astype(jnp.int32), axis=1

@@ -27,6 +27,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import TrainConfig
 from ..evals.metrics import iou
@@ -238,6 +239,10 @@ def forward_losses(
             batch["verts"], batch["faces"], centers,
             n_valid_faces=batch["n_faces"],
         )  # (B, T) float {0,1}
+    # Named so the remat policy saves the (B, T) labels instead of
+    # re-reading the occupancy texture (or re-running check_sign's
+    # O(T x F) parity scan) in the backward pass.
+    center_occ = checkpoint_name(center_occ, "center_occ")
 
     # --- geometric regularizers (terms with a zero weight are skipped at
     # trace time — they never enter the compiled program) ------------------
@@ -387,7 +392,20 @@ def make_train_step(model, tx, config: TrainConfig, lattice_offsets=None,
                 return total, (terms, mutated)
 
             if remat:
-                loss_fn = jax.checkpoint(loss_fn)
+                # Save exactly the named no-grad descriptors (argmin
+                # indices, compaction selects, occupancy labels): they are
+                # KB-to-MB sized, but rebuilding them in the backward
+                # re-runs the O(P x M) / O(P x F) scans — the most
+                # expensive parts of the forward.  Everything else
+                # (activations, geometry SoA) is rematerialized as usual.
+                loss_fn = jax.checkpoint(
+                    loss_fn,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "nn_argmin_idx", "tri_argmin_idx",
+                        "boundary_compact_idx", "boundary_compact_valid",
+                        "center_occ",
+                    ),
+                )
             (total, (terms, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)

@@ -28,9 +28,20 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--out", default="docs/step_breakdown_r4.json")
+    ap.add_argument("--variants", default="",
+                    help="comma-separated subset of variant names to run "
+                         "(each ablation pays its own compile; subset to "
+                         "bound chip time)")
     args = ap.parse_args()
 
     import jax
+
+    # Honor DEFTET_PLATFORM=cpu|tpu like the CLIs: the axon TPU plugin
+    # ignores the JAX_PLATFORMS env var, so a CPU smoke run would land on
+    # the (possibly busy) TPU without this.
+    plat = os.environ.get("DEFTET_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.random as jrandom
 
     from deftet_tpu.config import TrainConfig
@@ -57,6 +68,10 @@ def main() -> int:
         ("occ_only", {"lambda_def": 0.0}),
     ]
 
+    if args.variants:
+        want = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in want]
+
     results = []
     for name, over in variants:
         cfg = TrainConfig(
@@ -79,6 +94,7 @@ def main() -> int:
             "occ_grid": np.tile(occ[None], (b, 1, 1, 1)),
         }
         sharded = engine._prep_batch(batch)
+        build_s = time.perf_counter() - t_build
         t0 = time.perf_counter()
         state, terms = engine._train_step(
             engine.state, sharded, jrandom.PRNGKey(0), engine.statics
@@ -99,14 +115,17 @@ def main() -> int:
         step_ms = float(np.median(times)) * 1e3
         rec = {"variant": name, "step_ms": round(step_ms, 1),
                "compile_s": round(compile_s, 1),
-               "build_s": round(t0 - t_build, 1)}
+               "build_s": round(build_s, 1)}
         results.append(rec)
         print(json.dumps(rec), flush=True)
         del engine, state, terms, sharded
 
-    full = next(r for r in results if r["variant"] == "full")["step_ms"]
-    for r in results:
-        r["delta_vs_full_ms"] = round(full - r["step_ms"], 1)
+    full = next(
+        (r["step_ms"] for r in results if r["variant"] == "full"), None
+    )
+    if full is not None:
+        for r in results:
+            r["delta_vs_full_ms"] = round(full - r["step_ms"], 1)
     out = os.path.join(REPO, args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)

@@ -378,6 +378,39 @@ def test_grad_accum_step(tiny_dataset, tmp_path):
     assert changed, "params did not update under grad accumulation"
 
 
+def test_remat_step_matches_plain(tiny_dataset, tmp_path):
+    """remat=True (jax.checkpoint with the save_only_these_names policy
+    keeping argmin/compaction descriptors) must be a pure memory/time
+    trade: identical loss terms and identical post-step params vs the
+    plain step at f32 tolerance."""
+    outs = []
+    for remat in (False, True):
+        cfg = TrainConfig(
+            logdir=str(tmp_path), experiment_id=f"remat{int(remat)}",
+            remat=remat, **TINY
+        )
+        eng = Engine(cfg)
+        batch = next(_batches(tiny_dataset, cfg))
+        state, terms = eng._train_step(
+            eng.state, eng._prep_batch(batch), jax.random.PRNGKey(0),
+            eng.statics,
+        )
+        outs.append((
+            {k: float(v) for k, v in terms.items()},
+            jax.tree_util.tree_map(np.asarray, state.params),
+        ))
+    (terms_a, params_a), (terms_b, params_b) = outs
+    for k in terms_a:
+        assert np.isclose(terms_a[k], terms_b[k], rtol=1e-5, atol=1e-6), (
+            f"{k}: {terms_a[k]} vs {terms_b[k]}"
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_a),
+        jax.tree_util.tree_leaves(params_b),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_validate_inference_threshold_sweep(engine, tiny_dataset):
     """Reference-parity selection metric: probability-pasted SDF IoU swept
     over thresholds 0.1-0.5 with val_iou_max = max over the sweep
