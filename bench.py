@@ -228,15 +228,14 @@ def kernel_benches(small: bool) -> dict:
 
 
 def main():
-    # Honor DEFTET_PLATFORM=cpu|tpu like the CLIs do — the axon TPU
-    # plugin ignores the JAX_PLATFORMS env var, so a CPU smoke run
-    # (BENCH_SMALL) silently lands on the TPU without this, colliding
-    # with any live TPU process (one-process rule).
-    plat = os.environ.get("DEFTET_PLATFORM")
-    import jax
+    # Honor DEFTET_PLATFORM=cpu|tpu like the CLIs do (the axon TPU
+    # plugin ignores the JAX_PLATFORMS env var) and enable the
+    # persistent compilation cache so compile_s is paid once per code
+    # change, not per run.
+    from deftet_tpu.utils.jaxsetup import setup_jax
 
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    setup_jax()
+    import jax
     import jax.random as jrandom
 
     from deftet_tpu.config import TrainConfig

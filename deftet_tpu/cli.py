@@ -23,13 +23,11 @@ from .train import Engine
 
 
 def _maybe_force_platform() -> None:
-    """Honor DEFTET_PLATFORM=cpu|tpu (some TPU plugins ignore the
-    JAX_PLATFORMS env var; jax.config always wins)."""
-    plat = os.environ.get("DEFTET_PLATFORM")
-    if plat:
-        import jax
+    """Honor DEFTET_PLATFORM=cpu|tpu and enable the persistent
+    compilation cache (utils/jaxsetup.py)."""
+    from .utils.jaxsetup import setup_jax
 
-        jax.config.update("jax_platforms", plat)
+    setup_jax()
 
 
 def _split(dataset: ShapeDataset, batch_size: int):

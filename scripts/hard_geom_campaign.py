@@ -100,8 +100,13 @@ def main() -> int:
     if rc != 0:
         return rc
 
-    exps = sorted(os.listdir(logdir))
-    exp = os.path.join(logdir, exps[-1])
+    # newest experiment *directory* by mtime (lexicographic listdir can
+    # pick a stale run or stray file when --outdir is reused)
+    exps = [
+        p for e in os.listdir(logdir)
+        if os.path.isdir(p := os.path.join(logdir, e))
+    ]
+    exp = max(exps, key=os.path.getmtime)
     eval_cmd = [
         sys.executable, "-m", "deftet_tpu.cli", "eval",
         "--experiment_path", exp,

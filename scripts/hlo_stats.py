@@ -6,7 +6,8 @@ driver of remote-TPU compile seconds.
 """
 import os, sys, time, collections
 os.environ["JAX_PLATFORMS"] = "cpu"
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np

@@ -16,6 +16,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The axon TPU plugin ignores JAX_PLATFORMS; jax.config always wins
+# (same forcing as scripts/step_breakdown.py / hlo_stats.py).
+from deftet_tpu.utils.jaxsetup import setup_jax
+
+setup_jax(platform=os.environ.get("DEFTET_PLATFORM", "cpu"))
+
 
 def main() -> int:
     t0 = time.time()
