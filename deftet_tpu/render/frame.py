@@ -32,7 +32,7 @@ per-pixel linked lists; a TPU has no atomics, but it has a host.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,76 +121,113 @@ def build_frame_bins(
     tidx = (ty0[rep] + dy) * nx + (tx0[rep] + dx)
     pairs_face = fid[rep]
 
-    order = np.argsort(tidx, kind="stable")  # stable: faces stay ascending
-    tidx = tidx[order]
-    pairs_face = pairs_face[order]
+    # Sort pairs by (tile, face) via ONE packed-key np.sort — cheaper
+    # than a stable argsort + permutation gathers at the ~10-50M pairs a
+    # 1.5M-face scene produces, and faces stay ascending per tile by
+    # construction of the key.
+    n_faces = face_img_fx3x2.shape[0]
+    key = tidx * np.int64(n_faces) + pairs_face
+    key.sort()
+    tidx = (key // n_faces).astype(np.int64)
+    pairs_face = key % n_faces
     counts = np.bincount(tidx, minlength=ny * nx)
     starts = np.concatenate([[0], np.cumsum(counts)])
+    # per-pair offset within its tile (tidx ascending)
+    off = np.arange(key.shape[0], dtype=np.int64) - starts[tidx]
 
     # Group non-empty tiles into power-of-FOUR budget buckets (floored
     # at min_budget): coarser than pow-2 wastes <=4x scan work on the
     # boundary tiles, but each distinct budget is one more compiled
     # executable per topology — and at TPU compile costs (tens of
     # seconds each over the remote service) 3 kernels beat 7 long
-    # before the extra scan work matters.
-    buckets: Dict[int, Tuple[List[int], List[np.ndarray]]] = {}
-    nonempty = np.nonzero(counts)[0]
-    for t in nonempty:
-        c = int(counts[t])
-        budget = min_budget
-        while budget < c:
-            budget *= 4
-        ids, lists = buckets.setdefault(budget, ([], []))
-        ids.append(int(t))
-        lists.append(pairs_face[starts[t]: starts[t] + c])
-    out = {}
-    for budget, (ids, lists) in buckets.items():
-        cand = np.full((len(ids), budget), -1, np.int32)
-        for i, lst in enumerate(lists):
-            cand[i, : lst.shape[0]] = lst
-        out[budget] = (np.asarray(ids, np.int32), cand)
+    # before the extra scan work matters.  Bucket fill is a flat
+    # scatter per bucket (no per-tile python loop).
+    n_tiles = ny * nx
+    budget_of = np.full(n_tiles, -1, np.int64)
+    nonempty = counts > 0
+    b = np.maximum(counts[nonempty], 1)
+    exp = np.ceil(np.log2(np.maximum(b / min_budget, 1)) / 2.0)
+    budget_of[nonempty] = min_budget * 4 ** exp.astype(np.int64)
+
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    pair_budget = budget_of[tidx]
+    for budget in np.unique(budget_of[nonempty]):
+        ids = np.nonzero(budget_of == budget)[0]
+        rank = np.full(n_tiles, -1, np.int64)
+        rank[ids] = np.arange(ids.shape[0])
+        cand = np.full((ids.shape[0], int(budget)), -1, np.int32)
+        m = pair_budget == budget
+        cand.reshape(-1)[rank[tidx[m]] * int(budget) + off[m]] = (
+            pairs_face[m]
+        )
+        out[int(budget)] = (ids.astype(np.int32), cand)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "k"))
-def _bucket_hit(
-    pix_txpx2, range_txpx2, cand_txc, face_z_fx3, face_img_fx3x2,
-    chunk: int, k: int,
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "lo", "hi"))
+def _bucket_render(
+    pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
+    chunk: int, k: int, lo: float, hi: float,
 ):
-    """Hit pass for one budget bucket: vmap over tiles, each gathering
-    its own candidates and scanning them with the shared kernel."""
+    """Fused hit + replay + composite for one budget bucket.
 
-    def one(pix, rng, cand):
+    ONE device dispatch per bucket slab (the round-4 split hit /
+    chunked-replay design cost ~11 round trips per 400^2 frame; over
+    the remote-tunnel TPU each trip is hundreds of ms, which dominated
+    small-scene frames — BENCH_r04 frame_scene_mpix_s 0.03).  vmap over
+    tiles; each tile gathers its own candidates, scans them with the
+    shared hit kernel, then replays + alpha-composites its own pixels.
+    Returns (color (T, px, C-1), vis (T, px, 1))."""
+    rng_2 = jnp.asarray([lo, hi], jnp.float32)
+
+    def one(pix, cand):
         safe = jnp.maximum(cand, 0)
-        return _hit_topk_ids(
-            pix, rng, face_z_fx3[safe], face_img_fx3x2[safe], cand,
-            chunk, k,
+        _, idx = _hit_topk_ids(
+            pix, jnp.broadcast_to(rng_2, pix.shape),
+            face_z_fx3[safe], face_img_fx3x2[safe], cand, chunk, k,
         )
+        # differentiable-replay math (same as raster's replay; the hit
+        # ids are global face indices, so gathers hit the full arrays)
+        safe_i = jnp.maximum(idx, 0)
+        tri_img = face_img_fx3x2[safe_i]      # (px, k, 3, 2)
+        tri_feat = face_feat_fx3xc[safe_i]    # (px, k, 3, C)
+        w0, w1, w2 = barycentric_2d(pix[:, None, :], tri_img)
+        feat = (
+            w0[..., None] * tri_feat[..., 0, :]
+            + w1[..., None] * tri_feat[..., 1, :]
+            + w2[..., None] * tri_feat[..., 2, :]
+        )
+        feat = jnp.where((idx >= 0)[..., None], feat, 0.0)
+        color, vis, _ = peel2mask(feat[None])
+        return color[0], vis[0]
 
-    return jax.vmap(one)(pix_txpx2, range_txpx2, cand_txc)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _replay_composite(pix_px2, idx_pxk, face_img_fx3x2, face_feat_fx3xc):
-    """Differentiable replay + alpha compositing for selected faces.
-
-    Same math as raster.deftet_sparse_render's replay; returns
-    (color (P, C-1), vis (P, 1))."""
-    safe = jnp.maximum(idx_pxk, 0)
-    tri_img = face_img_fx3x2[safe]      # (P, k, 3, 2)
-    tri_feat = face_feat_fx3xc[safe]    # (P, k, 3, C)
-    w0, w1, w2 = barycentric_2d(pix_px2[:, None, :], tri_img)
-    feat = (
-        w0[..., None] * tri_feat[..., 0, :]
-        + w1[..., None] * tri_feat[..., 1, :]
-        + w2[..., None] * tri_feat[..., 2, :]
-    )
-    feat = jnp.where((idx_pxk >= 0)[..., None], feat, 0.0)
-    color, vis, _ = peel2mask(feat[None])
-    return color[0], vis[0]
+    return jax.vmap(one)(pix_txpx2, cand_txc)
 
 
-def render_frame_binned(
+class PendingFrame:
+    """A dispatched-but-not-fetched frame render.
+
+    Holds the device result buffers of every bucket slab plus the host
+    scatter layout; ``resolve()`` fetches and assembles.  Keeping frames
+    pending lets multi-view callers (PSNR eval, turntable export)
+    overlap view i+1's host binning with view i's device work — jax's
+    async dispatch does the rest."""
+
+    def __init__(self, h, w, c_dim, parts):
+        self._h, self._w, self._c = h, w, c_dim
+        self._parts = parts  # [(lin_idx, t_real, color_dev, vis_dev)]
+
+    def resolve(self) -> Tuple[np.ndarray, np.ndarray]:
+        h, w, c_dim = self._h, self._w, self._c
+        color = np.ones((h * w, c_dim), np.float32)  # white background
+        vis = np.zeros((h * w, 1), np.float32)
+        for lin, t_real, cc, vv in self._parts:
+            color[lin] = np.asarray(cc)[:t_real].reshape(-1, c_dim)
+            vis[lin] = np.asarray(vv)[:t_real].reshape(-1, 1)
+        return color.reshape(h, w, c_dim), vis.reshape(h, w, 1)
+
+
+def dispatch_frame_binned(
     face_z_fx3: jnp.ndarray,
     face_img_fx3x2: jnp.ndarray,
     face_feat_fx3xc: jnp.ndarray,
@@ -201,16 +238,9 @@ def render_frame_binned(
     chunk: int = 1024,
     tile: int = 16,
     z_range: Tuple[float, float] = (-1000.0, 0.0),
-    replay_chunk: int = 16384,
-):
-    """Render a full (h, w) frame with per-tile-exact host binning.
-
-    ``face_*`` are device arrays (features already activated, i.e.
-    post-sigmoid [alpha, rgb...]); ``face_img_np`` is the host-side
-    projection of the same faces (used only for culling — bboxes are
-    eps-expanded so host/device rounding can't drop a device-visible
-    face).  Returns (color (h, w, C-1), vis (h, w, 1)) numpy.
-    """
+) -> PendingFrame:
+    """Bin on host + dispatch every bucket slab; returns a PendingFrame
+    (fetch with ``.resolve()``).  See render_frame_binned."""
     c_dim = int(face_feat_fx3xc.shape[-1]) - 1
     pix_idx, _ = tile_pixel_layout(h, w, tile)
     # NDC pixel centers, y up (same formula as optimize.pixel_grid)
@@ -222,21 +252,24 @@ def render_frame_binned(
 
     bins = build_frame_bins(face_img_np, h, w, tile)
 
-    color = np.ones((h * w, c_dim), np.float32)  # white background
-    vis = np.zeros((h * w, 1), np.float32)
-    lo, hi = z_range
+    lo, hi = float(z_range[0]), float(z_range[1])
     px = tile * tile
 
     def pow2ceil(n):
         return 1 << (max(n, 1) - 1).bit_length()
 
+    # Slab cap: bound BOTH the live hit tile (T * cand candidate slots)
+    # and the replay gather (T * px * k * 3 * (C+2) floats) to a few GB.
+    replay_bytes_per_tile = px * k * 3 * (c_dim + 1 + 2) * 4
+
+    parts = []
     for budget in sorted(bins):
         tile_ids, cand = bins[budget]
-        # bound the live (T, px, cand) hit tile to ~32M candidate slots;
-        # pad each slab's tile count to a power of two so compiled
-        # shapes are (pow2, px, pow2-budget) — a bounded set across
-        # views/frames instead of one executable per tile count.
-        max_slab = max(1, (1 << 25) // max(budget, 1))
+        max_slab = max(
+            1,
+            min((1 << 25) // max(budget, 1),
+                (2 << 30) // replay_bytes_per_tile),
+        )
         t_total = tile_ids.shape[0]
         s = 0
         while s < t_total:
@@ -253,37 +286,38 @@ def render_frame_binned(
                     [sl_cand,
                      np.full((t_pad - t_s, budget), -1, np.int32)]
                 )
-            rng = np.broadcast_to(
-                np.asarray([lo, hi], np.float32), pix.shape
-            ).copy()
-            _, idx = _bucket_hit(
-                jnp.asarray(pix), jnp.asarray(rng), jnp.asarray(sl_cand),
-                face_z_fx3, face_img_fx3x2, chunk, k,
-            )  # (t_pad, px, k)
-            flat_pix = pix[:t_s].reshape(-1, 2)
-            flat_idx = np.asarray(idx)[:t_s].reshape(t_s * px, k)
-            n_flat = flat_pix.shape[0]
-            n_pad = -(-n_flat // replay_chunk) * replay_chunk
-            if n_pad != n_flat:  # fixed replay shape: one executable
-                flat_pix = np.concatenate(
-                    [flat_pix,
-                     np.zeros((n_pad - n_flat, 2), np.float32)]
-                )
-                flat_idx = np.concatenate(
-                    [flat_idx,
-                     np.full((n_pad - n_flat, k), -1, np.int32)]
-                )
-            cs, vs = [], []
-            for r in range(0, n_pad, replay_chunk):
-                cc, vv = _replay_composite(
-                    jnp.asarray(flat_pix[r: r + replay_chunk]),
-                    jnp.asarray(flat_idx[r: r + replay_chunk]),
-                    face_img_fx3x2, face_feat_fx3xc,
-                )
-                cs.append(np.asarray(cc))
-                vs.append(np.asarray(vv))
+            cc, vv = _bucket_render(
+                jnp.asarray(pix), jnp.asarray(sl_cand),
+                face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
+                chunk, k, lo, hi,
+            )  # (t_pad, px, C-1), (t_pad, px, 1) — device, async
             lin = pix_idx[sl_ids].reshape(-1)
-            color[lin] = np.concatenate(cs)[:n_flat]
-            vis[lin] = np.concatenate(vs)[:n_flat]
+            parts.append((lin, t_s, cc, vv))
             s += t_s
-    return color.reshape(h, w, c_dim), vis.reshape(h, w, 1)
+    return PendingFrame(h, w, c_dim, parts)
+
+
+def render_frame_binned(
+    face_z_fx3: jnp.ndarray,
+    face_img_fx3x2: jnp.ndarray,
+    face_feat_fx3xc: jnp.ndarray,
+    face_img_np: np.ndarray,
+    h: int,
+    w: int,
+    k: int = 120,
+    chunk: int = 1024,
+    tile: int = 16,
+    z_range: Tuple[float, float] = (-1000.0, 0.0),
+):
+    """Render a full (h, w) frame with per-tile-exact host binning.
+
+    ``face_*`` are device arrays (features already activated, i.e.
+    post-sigmoid [alpha, rgb...]); ``face_img_np`` is the host-side
+    projection of the same faces (used only for culling — bboxes are
+    eps-expanded so host/device rounding can't drop a device-visible
+    face).  Returns (color (h, w, C-1), vis (h, w, 1)) numpy.
+    """
+    return dispatch_frame_binned(
+        face_z_fx3, face_img_fx3x2, face_feat_fx3xc, face_img_np,
+        h, w, k=k, chunk=chunk, tile=tile, z_range=z_range,
+    ).resolve()

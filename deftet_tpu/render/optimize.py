@@ -806,6 +806,53 @@ def calibrate_eval_bin_cand(
     return 0 if cand >= f else cand
 
 
+class _ReadyFrame:
+    """Trivial pending-frame wrapper for the already-synchronous path."""
+
+    def __init__(self, color_vis):
+        self._cv = color_vis
+
+    def resolve(self):
+        return self._cv
+
+
+def dispatch_full_image(
+    scene: TetScene,
+    params,
+    pose_4x4: np.ndarray,
+    hwf,
+    cfg: RenderOptConfig,
+    pix_chunk: int = 0,
+):
+    """Dispatch a full-frame render; returns an object with
+    ``.resolve() -> (color, vis)``.  On the host-binned frame path the
+    device work is queued asynchronously, so multi-view callers can
+    overlap view i+1's host binning with view i's device render."""
+    h, w, focal = hwf
+    pix_chunk = pix_chunk or cfg.eval_pix_chunk
+    rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
+    n_faces = int(scene.faces_fx3.shape[0])
+    if cfg.frame_tile and n_faces >= cfg.frame_min_faces:
+        from .frame import dispatch_frame_binned
+        from .scene import _face_arrays_jit
+
+        face_z, face_img, face_feat = _face_arrays_jit(
+            jnp.asarray(scene.points_px3), params["mov"], params["feat"],
+            jnp.asarray(scene.faces_fx3), scene.coef,
+            jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj),
+        )
+        face_img_np = project_faces_np(scene, params, (rot, pos, proj))
+        return dispatch_frame_binned(
+            face_z, face_img, face_feat, face_img_np, h, w,
+            k=cfg.k, chunk=cfg.raster_chunk, tile=cfg.frame_tile,
+        )
+    return _ReadyFrame(
+        _render_full_image_chunked(
+            scene, params, (rot, pos, proj), h, w, cfg, pix_chunk
+        )
+    )
+
+
 def render_full_image(
     scene: TetScene,
     params,
@@ -815,24 +862,16 @@ def render_full_image(
     pix_chunk: int = 0,
 ):
     """Full-frame render in pixel chunks; returns (H, W, 3) + (H, W, 1)."""
-    h, w, focal = hwf
-    pix_chunk = pix_chunk or cfg.eval_pix_chunk
-    rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
-    n_faces = int(scene.faces_fx3.shape[0])
-    if cfg.frame_tile and n_faces >= cfg.frame_min_faces:
-        from .frame import render_frame_binned
-        from .scene import _face_arrays_jit
+    return dispatch_full_image(
+        scene, params, pose_4x4, hwf, cfg, pix_chunk
+    ).resolve()
 
-        face_z, face_img, face_feat = _face_arrays_jit(
-            jnp.asarray(scene.points_px3), params["mov"], params["feat"],
-            jnp.asarray(scene.faces_fx3), scene.coef,
-            jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj),
-        )
-        face_img_np = project_faces_np(scene, params, (rot, pos, proj))
-        return render_frame_binned(
-            face_z, face_img, face_feat, face_img_np, h, w,
-            k=cfg.k, chunk=cfg.raster_chunk, tile=cfg.frame_tile,
-        )
+
+def _render_full_image_chunked(
+    scene: TetScene, params, cam, h, w, cfg: RenderOptConfig,
+    pix_chunk: int,
+):
+    rot, pos, proj = cam
     grid = pixel_grid(h, w)
     bin_cand = cfg.bin_cand
     if bin_cand < 0:
@@ -864,10 +903,16 @@ def evaluate_psnr(
 ):
     """Mean test MSE + PSNR (optim...py:330-384)."""
     gt_color, _ = _white_composite(images)
-    mses = []
-    for i in i_test:
-        pred, _ = render_full_image(scene, params, poses[i], hwf, cfg)
-        mses.append(float(np.mean((pred - gt_color[i]) ** 2)))
+    # dispatch every view first (device renders pipeline behind the
+    # host binning of later views), then fetch
+    pending = [
+        dispatch_full_image(scene, params, poses[i], hwf, cfg)
+        for i in i_test
+    ]
+    mses = [
+        float(np.mean((p.resolve()[0] - gt_color[i]) ** 2))
+        for p, i in zip(pending, i_test)
+    ]
     mse = float(np.mean(mses))
     psnr = float(-10.0 * np.log10(max(mse, 1e-10)))
     return mse, psnr
@@ -916,14 +961,19 @@ def export_turntable(
     """Render a circular camera path and write it as a video — mp4 or
     GIF by extension (the video export of optim...py:330-384).  Returns
     the frame array (N, H, W, 3) uint8."""
-    frames = []
-    for i in range(n_frames):
-        pose = pose_spherical(360.0 * i / n_frames, phi, radius)
-        color, _ = render_full_image(scene, params, pose, hwf, cfg)
-        frames.append(
-            (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
+    pending = [
+        dispatch_full_image(
+            scene, params, pose_spherical(360.0 * i / n_frames, phi,
+                                          radius), hwf, cfg
         )
-    frames = np.stack(frames)
+        for i in range(n_frames)
+    ]
+    frames = np.stack(
+        [
+            (np.clip(p.resolve()[0], 0.0, 1.0) * 255).astype(np.uint8)
+            for p in pending
+        ]
+    )
     write_video(frames, path, fps=fps)
     return frames
 

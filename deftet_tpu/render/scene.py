@@ -112,10 +112,9 @@ class TetScene:
         # entries in the module-level jit.
         _render_mesh_color_jit.clear_cache()
         _face_arrays_jit.clear_cache()
-        from .frame import _bucket_hit, _replay_composite
+        from .frame import _bucket_render
 
-        _bucket_hit.clear_cache()
-        _replay_composite.clear_cache()
+        _bucket_render.clear_cache()
         self.faces_fx3 = build_render_faces(self.tets_tx4, n)
         self.adj_idx, self.adj_mask, self.adj_deg = build_vertex_adjacency(
             self.tets_tx4, n
