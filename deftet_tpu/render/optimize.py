@@ -626,8 +626,16 @@ def optimize_stage(
     deadline: Optional[float] = None,
     video_path: Optional[str] = None,
     video_every: int = 200,
+    cal_margin: float = 1.5,
 ):
     """One {mov | fix} stage; re-jits whenever carving changes topology.
+
+    Returns (params, history, info) where ``info`` records the binning
+    audit: the calibrated candidate budget, and ``bin_overflow_final`` —
+    the end-of-stage overlap excess re-measured on the FINAL params via
+    the host oracle (0 = every training render this stage was provably
+    exact; >0 = late-stage gradients flowed through a face-dropping
+    raster and the caller should escalate ``cal_margin``).
 
     ``video_path`` (optional .mp4/.gif) writes a convergence video of the
     first train view, one frame per ``video_every`` steps plus the final
@@ -672,7 +680,8 @@ def optimize_stage(
 
     def _calibrated_cfg():
         cand = calibrate_bin_cand(
-            scene, params, cams, i_train[:3], grid, n_pix, cfg, hw=(h, w)
+            scene, params, cams, i_train[:3], grid, n_pix, cfg,
+            margin=cal_margin, hw=(h, w),
         )
         if log and cand != cfg.bin_cand:
             log(f"[bin] candidate budget {cand or 'off'} "
@@ -747,11 +756,14 @@ def optimize_stage(
     if video_path:
         _snap()
         write_video(video_frames, video_path, fps=8)
+    overflow_final = 0
     if cal_cfg.bin_cand and gridmov:
         # Silent-approximation tripwire: vertices moved since the last
         # calibration, so re-measure the overlap bound on the FINAL
         # params — an overflow here means late-stage gradients flowed
-        # through a face-dropping raster.
+        # through a face-dropping raster.  (Fix stages only move
+        # features, so their stage-start/carve-time calibration stays
+        # exact by construction and overflow is 0 without re-probing.)
         from .raster import bin_overlap_max_np
 
         def _probe_pick():
@@ -770,11 +782,17 @@ def optimize_stage(
             )
             for v in i_train[:2]
         )
-        if worst > cal_cfg.bin_cand and log:
+        overflow_final = max(worst - cal_cfg.bin_cand, 0)
+        if overflow_final and log:
             log(f"[bin] WARNING: end-of-stage overlap {worst} exceeds the "
                 f"calibrated budget {cal_cfg.bin_cand}; late-stage "
                 f"training renders were approximate")
-    return params, history
+    info = {
+        "bin_cand": int(cal_cfg.bin_cand),
+        "bin_overflow_final": int(overflow_final),
+        "cal_margin": float(cal_margin),
+    }
+    return params, history, info
 
 
 def calibrate_eval_bin_cand(
@@ -1082,21 +1100,27 @@ def run_pipeline(
     params = scene.init_params()
     records: List[Dict] = []
 
+    cal_margin = 1.5
     for sub in range(cfg.sublevels + 1):
         for gridmov, steps in ((True, cfg.steps_mov), (False, cfg.steps_fix)):
             if steps <= 0:
                 continue
-            params, _ = optimize_stage(
+            params, _, stage_info = optimize_stage(
                 scene, params, images, poses, hwf, i_train, cfg,
                 gridmov=gridmov, steps=steps, weights=weights, log=log,
-                lr_div=float(sub + 1),
+                lr_div=float(sub + 1), cal_margin=cal_margin,
             )
+            if stage_info["bin_overflow_final"]:
+                # late-stage drift beat the margin once — give every
+                # later calibration more headroom
+                cal_margin *= 2.0
             mse, psnr = evaluate_psnr(
                 scene, params, images, poses, hwf, i_test, cfg
             )
             records.append(
                 {"sublevel": sub, "stage": "mov" if gridmov else "fix",
-                 "mse": mse, "psnr": psnr, "n_tets": scene.n_tets}
+                 "mse": mse, "psnr": psnr, "n_tets": scene.n_tets,
+                 **stage_info}
             )
             if log:
                 log(f"[sub {sub} {'mov' if gridmov else 'fix'}] "

@@ -97,6 +97,7 @@ def main() -> int:
     t0 = time.monotonic()
     hard_deadline = t0 + args.budget_s
     stage_deadline_cap = hard_deadline - args.reserve_s
+    cal_margin = 1.5  # doubled whenever a stage ends with bin overflow
 
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -263,13 +264,16 @@ def main() -> int:
         name = f"sub{sub}-{'mov' if gridmov else 'fix'}"
         log(f"=== stage {name}: {steps} steps, "
             f"{stage_deadline - now:.0f}s share ===")
-        params, history = optimize_stage(
+        params, history, stage_info = optimize_stage(
             scene, params, images, poses, hwf, i_train, cfg,
             gridmov=gridmov, steps=steps, log=log,
             lr_div=float(sub + 1), deadline=stage_deadline,
             video_path=(os.path.join(args.outdir, f"video_{name}.mp4")
                         if args.stage_videos else None),
+            cal_margin=cal_margin,
         )
+        if stage_info["bin_overflow_final"]:
+            cal_margin *= 2.0  # more headroom for later calibrations
         t_eval = time.monotonic()
         mse, psnr = evaluate_psnr(
             scene, params, images, poses, hwf, i_eval, cfg
@@ -284,7 +288,8 @@ def main() -> int:
             {"stage": name, "mse": mse, "psnr": psnr,
              "train_psnr": tr_psnr, "n_tets": scene.n_tets,
              "steps_done": len(history), "steps_planned": steps,
-             "wall_s": round(time.monotonic() - t0, 1)}
+             "wall_s": round(time.monotonic() - t0, 1),
+             **stage_info}
         )
         log(f"[{name}] test psnr={psnr:.2f} train psnr={tr_psnr:.2f} "
             f"tets={scene.n_tets}")

@@ -62,10 +62,11 @@ def test_optimize_stage_reduces_loss():
     mse0, _ = evaluate_psnr(
         scene, params, images, poses, hwf, i_test, cfg
     )
-    params, history = optimize_stage(
+    params, history, stage_info = optimize_stage(
         scene, params, images, poses, hwf, i_train, cfg,
         gridmov=False, steps=60, log=None,
     )
+    assert stage_info["bin_overflow_final"] == 0
     mse1, psnr1 = evaluate_psnr(
         scene, params, images, poses, hwf, i_test, cfg
     )
