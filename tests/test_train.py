@@ -257,6 +257,41 @@ def test_2d_mesh_equals_1d_mesh(tiny_dataset, tmp_path):
     _assert_grads_close(g1, g2, rtol=2e-3, atol=1e-5)
 
 
+def test_sharded_training_loss_decreases(tiny_dataset, tmp_path):
+    """~20 pjit steps on the full 8-device 2-D (data x space) mesh must
+    actually LEARN (total loss + occ BCE drop) — gradient equality at
+    one point (the tests above) doesn't prove the optimizer/collective
+    wiring holds up over a trajectory (round-4 verdict ask #8)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.device_count() == 8
+    mesh2d = Mesh(np.asarray(jax.devices()).reshape(4, 2),
+                  ("data", "space"))
+    (eng,) = _engines_on_meshes(
+        tiny_dataset, tmp_path, [mesh2d], batch_size=4
+    )
+    batch = _stacked_batch(tiny_dataset, 4)
+    first = last = first_occ = last_occ = None
+    for i in range(20):
+        b = eng._prep_batch(batch)
+        b["surface_points"] = jax.device_put(
+            b["surface_points"],
+            NamedSharding(mesh2d, P("data", "space", None)),
+        )
+        eng.state, terms = eng._train_step(
+            eng.state, b, jax.random.PRNGKey(i), eng.statics
+        )
+        tot, occ = float(terms["total"]), float(terms["occ"])
+        assert np.isfinite(tot)
+        if first is None:
+            first, first_occ = tot, occ
+        last, last_occ = tot, occ
+    assert last < first, f"total did not decrease: {first} -> {last}"
+    assert last_occ < first_occ, (
+        f"occ BCE did not decrease: {first_occ} -> {last_occ}"
+    )
+
+
 def test_sharded_equivalence_default_precision(tiny_dataset, tmp_path):
     """Same contract at the shipping bf16 config, at bf16 tolerance."""
     from jax.sharding import Mesh
