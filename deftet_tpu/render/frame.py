@@ -38,8 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .composite import peel2mask
-from .raster import _hit_topk_ids, barycentric_2d
+from .raster import _edge, _hit_counts, _hit_topk_ids
 
 # host/device projections of the same face can differ by float rounding;
 # bboxes are expanded by this NDC margin so the host cull stays a
@@ -164,6 +163,30 @@ def build_frame_bins(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "lo", "hi"))
+def _bucket_count(
+    pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2,
+    chunk: int, lo: float, hi: float,
+):
+    """Max per-pixel hit count per tile — the k-calibration pass.
+
+    Top-k peeling at k=120 costs ~150x the scan's traffic floor on this
+    TPU (approx_max_k / top_k are the whole render cost), so every frame
+    first counts its true per-pixel coverage with this (floor-speed)
+    pass and then peels at the smallest exact k.  Returns (T,) int32."""
+    rng_2 = jnp.asarray([lo, hi], jnp.float32)
+
+    def one(pix, cand):
+        safe = jnp.maximum(cand, 0)
+        counts = _hit_counts(
+            pix, jnp.broadcast_to(rng_2, pix.shape),
+            face_z_fx3[safe], face_img_fx3x2[safe], cand, chunk,
+        )
+        return jnp.max(counts)
+
+    return jax.vmap(one)(pix_txpx2, cand_txc)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "k", "lo", "hi"))
 def _bucket_render(
     pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
@@ -179,6 +202,8 @@ def _bucket_render(
     shared hit kernel, then replays + alpha-composites its own pixels.
     Returns (color (T, px, C-1), vis (T, px, 1))."""
     rng_2 = jnp.asarray([lo, hi], jnp.float32)
+    c_total = face_feat_fx3xc.shape[-1]
+    eps = 1e-10
 
     def one(pix, cand):
         safe = jnp.maximum(cand, 0)
@@ -186,20 +211,50 @@ def _bucket_render(
             pix, jnp.broadcast_to(rng_2, pix.shape),
             face_z_fx3[safe], face_img_fx3x2[safe], cand, chunk, k,
         )
-        # differentiable-replay math (same as raster's replay; the hit
-        # ids are global face indices, so gathers hit the full arrays)
-        safe_i = jnp.maximum(idx, 0)
-        tri_img = face_img_fx3x2[safe_i]      # (px, k, 3, 2)
-        tri_feat = face_feat_fx3xc[safe_i]    # (px, k, 3, C)
-        w0, w1, w2 = barycentric_2d(pix[:, None, :], tri_img)
-        feat = (
-            w0[..., None] * tri_feat[..., 0, :]
-            + w1[..., None] * tri_feat[..., 1, :]
-            + w2[..., None] * tri_feat[..., 2, :]
+        # Differentiable-replay math (same as raster's replay; the hit
+        # ids are global face indices).  Structure-of-arrays on purpose:
+        # an AoS gather to (px, k, 3, C) puts the tiny (3, C) dims in
+        # the (8, 128) register tile — 42x HBM padding, a 32 GB compile-
+        # time allocation at a 512-tile slab.  Per-component (px, k)
+        # gathers keep k in the lane dim.
+        safe_i = jnp.maximum(idx, 0)  # (px, k)
+        corner = [
+            [face_img_fx3x2[:, j, c][safe_i] for c in range(2)]
+            for j in range(3)
+        ]
+        ax, ay = corner[0]
+        bx, by = corner[1]
+        cx, cy = corner[2]
+        px_, py_ = pix[:, None, 0], pix[:, None, 1]
+        denom = _edge(ax, ay, bx, by, cx, cy)
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        w2 = _edge(ax, ay, bx, by, px_, py_) / denom
+        w0 = _edge(bx, by, cx, cy, px_, py_) / denom
+        w1 = 1.0 - w0 - w2
+        dead = idx < 0
+        chans = []
+        for c in range(c_total):
+            f0 = face_feat_fx3xc[:, 0, c][safe_i]
+            f1 = face_feat_fx3xc[:, 1, c][safe_i]
+            f2 = face_feat_fx3xc[:, 2, c][safe_i]
+            chans.append(
+                jnp.where(dead, 0.0, w0 * f0 + w1 * f1 + w2 * f2)
+            )
+        # front-to-back alpha compositing (composite.peel2mask, SoA)
+        alpha = jnp.clip(chans[0], eps, 1.0 - eps)      # (px, k)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1]], axis=1
         )
-        feat = jnp.where((idx >= 0)[..., None], feat, 0.0)
-        color, vis, _ = peel2mask(feat[None])
-        return color[0], vis[0]
+        vis = alpha * jnp.cumprod(shifted, axis=1)       # (px, k)
+        out_vis = jnp.sum(vis, axis=1, keepdims=True)    # (px, 1)
+        color = jnp.stack(
+            [
+                jnp.sum(chans[c] * vis, axis=1) + (1.0 - out_vis[:, 0])
+                for c in range(1, c_total)
+            ],
+            axis=-1,
+        )                                                # (px, C-1)
+        return color, out_vis
 
     return jax.vmap(one)(pix_txpx2, cand_txc)
 
@@ -262,7 +317,12 @@ def dispatch_frame_binned(
     # and the replay gather (T * px * k * 3 * (C+2) floats) to a few GB.
     replay_bytes_per_tile = px * k * 3 * (c_dim + 1 + 2) * 4
 
-    parts = []
+    # Phase 1 — transfer each slab once and COUNT its true per-pixel
+    # coverage (floor-speed scan).  Phase 2 peels at the smallest exact
+    # k: k_eff = pow2ceil(max hits) capped at `k` — identical output (a
+    # larger k only adds sentinel slots; at the cap it truncates exactly
+    # like the fixed-k path), at a fraction of the top-k merge cost.
+    slabs = []  # (lin, t_real, pix_dev, cand_dev, counts_dev)
     for budget in sorted(bins):
         tile_ids, cand = bins[budget]
         max_slab = max(
@@ -286,14 +346,32 @@ def dispatch_frame_binned(
                     [sl_cand,
                      np.full((t_pad - t_s, budget), -1, np.int32)]
                 )
-            cc, vv = _bucket_render(
-                jnp.asarray(pix), jnp.asarray(sl_cand),
-                face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
-                chunk, k, lo, hi,
-            )  # (t_pad, px, C-1), (t_pad, px, 1) — device, async
+            pix_dev = jnp.asarray(pix)
+            cand_dev = jnp.asarray(sl_cand)
+            counts = _bucket_count(
+                pix_dev, cand_dev, face_z_fx3, face_img_fx3x2,
+                chunk, lo, hi,
+            )
             lin = pix_idx[sl_ids].reshape(-1)
-            parts.append((lin, t_s, cc, vv))
+            slabs.append((lin, t_s, pix_dev, cand_dev, counts))
             s += t_s
+
+    # np.asarray fetch (NOT an eager jnp.max — every eager op is a
+    # dispatch round-trip on the remote backend)
+    max_hits = max(
+        (int(np.asarray(c).max()) for *_, c in slabs), default=0
+    )
+    k_eff = max(8, pow2ceil(max(max_hits, 1)))
+    k_eff = min(k_eff, k)
+
+    parts = []
+    for lin, t_s, pix_dev, cand_dev, _ in slabs:
+        cc, vv = _bucket_render(
+            pix_dev, cand_dev,
+            face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
+            chunk, k_eff, lo, hi,
+        )  # (t_pad, px, C-1), (t_pad, px, 1) — device, async
+        parts.append((lin, t_s, cc, vv))
     return PendingFrame(h, w, c_dim, parts)
 
 

@@ -529,6 +529,75 @@ def calibrate_bin_cand(
     return cand
 
 
+def _pow2ceil(n: int) -> int:
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+def calibrate_peel_k(
+    scene: TetScene,
+    params,
+    cams,
+    views,
+    grid: np.ndarray,
+    n_pix: int,
+    cfg: RenderOptConfig,
+    margin: float = 1.25,
+    hw: Optional[Tuple[int, int]] = None,
+    raw: bool = False,
+) -> int:
+    """Measured peel depth for training renders.
+
+    The k-deep top-k merge is the rasterizer's dominant TPU cost (~150x
+    the coverage scan's traffic floor at k=120, scaling ~linearly in k),
+    while carved scenes rarely stack more than a few dozen faces per
+    pixel.  This counts the TRUE max per-pixel coverage through a few
+    training cameras (device counting scan, raster.hit_count_max) and
+    returns margin x that, pow2-rounded, capped at cfg.k.  k >= the
+    real max is EXACT (extra slots are sentinels); at the cap it
+    truncates exactly like the fixed-k path.
+    """
+    from .raster import hit_count_max
+    from .scene import _face_arrays_jit
+
+    if cfg.k <= 8:
+        return cfg.k
+    rng = np.random.default_rng(cfg.seed ^ 0x9E37A1)
+    t, n_tiles = _tile_mode(cfg, *(hw or (0, 1)), n_pix)
+    if t:
+        from .frame import tile_pixel_layout
+
+        layout, _ = tile_pixel_layout(hw[0], hw[1], t)
+    worst = 0
+    for v in views:
+        rot, pos, proj = cams[int(v)]
+        face_z, face_img, _ = _face_arrays_jit(
+            jnp.asarray(scene.points_px3), params["mov"], params["feat"],
+            jnp.asarray(scene.faces_fx3), scene.coef,
+            jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(proj),
+        )
+        if t:
+            tiles = rng.choice(layout.shape[0], size=n_tiles, replace=False)
+            pick = layout[tiles].reshape(-1)
+        else:
+            pick = rng.choice(grid.shape[0], size=min(n_pix, grid.shape[0]),
+                              replace=False)
+        pix = grid[pick]
+        pixrange = np.concatenate(
+            [pix,
+             np.full((pix.shape[0], 1), -1000.0, np.float32),
+             np.zeros((pix.shape[0], 1), np.float32)], axis=1
+        )  # same (-1000, 0) z range as TetScene.render
+        worst = max(
+            worst,
+            int(np.asarray(hit_count_max(
+                jnp.asarray(pixrange), face_z, face_img,
+            ))),
+        )
+    if raw:
+        return worst
+    return min(cfg.k, max(8, _pow2ceil(int(worst * margin))))
+
+
 def make_render_step(
     scene: TetScene,
     weights: Dict[str, float],
@@ -683,10 +752,14 @@ def optimize_stage(
             scene, params, cams, i_train[:3], grid, n_pix, cfg,
             margin=cal_margin, hw=(h, w),
         )
-        if log and cand != cfg.bin_cand:
-            log(f"[bin] candidate budget {cand or 'off'} "
+        k_cal = calibrate_peel_k(
+            scene, params, cams, i_train[:2], grid, n_pix, cfg,
+            margin=max(1.25, cal_margin - 0.25), hw=(h, w),
+        )
+        if log and (cand != cfg.bin_cand or k_cal != cfg.k):
+            log(f"[bin] candidate budget {cand or 'off'}, peel k {k_cal} "
                 f"(faces {scene.faces_fx3.shape[0]})")
-        return dataclasses.replace(cfg, bin_cand=cand)
+        return dataclasses.replace(cfg, bin_cand=cand, k=k_cal)
 
     cal_cfg = _calibrated_cfg()
     step_kw = dict(
@@ -757,6 +830,20 @@ def optimize_stage(
         _snap()
         write_video(video_frames, video_path, fps=8)
     overflow_final = 0
+    peel_overflow_final = 0
+    if cal_cfg.k < cfg.k and gridmov:
+        # Same drift tripwire for the calibrated peel depth: re-count on
+        # the final params; hits past cal_cfg.k mean late-stage renders
+        # truncated deeper layers (the fixed-k path would too once past
+        # cfg.k — this audits the calibrated budget specifically).
+        worst_k = calibrate_peel_k(
+            scene, params, cams, i_train[:2], grid, n_pix, cfg,
+            hw=(h, w), raw=True,
+        )
+        peel_overflow_final = max(worst_k - cal_cfg.k, 0)
+        if peel_overflow_final and log:
+            log(f"[peel] WARNING: end-of-stage coverage {worst_k} exceeds "
+                f"the calibrated peel depth {cal_cfg.k}")
     if cal_cfg.bin_cand and gridmov:
         # Silent-approximation tripwire: vertices moved since the last
         # calibration, so re-measure the overlap bound on the FINAL
@@ -791,6 +878,8 @@ def optimize_stage(
         "bin_cand": int(cal_cfg.bin_cand),
         "bin_overflow_final": int(overflow_final),
         "cal_margin": float(cal_margin),
+        "peel_k": int(cal_cfg.k),
+        "peel_overflow_final": int(peel_overflow_final),
     }
     return params, history, info
 
@@ -1110,7 +1199,8 @@ def run_pipeline(
                 gridmov=gridmov, steps=steps, weights=weights, log=log,
                 lr_div=float(sub + 1), cal_margin=cal_margin,
             )
-            if stage_info["bin_overflow_final"]:
+            if (stage_info["bin_overflow_final"]
+                    or stage_info["peel_overflow_final"]):
                 # late-stage drift beat the margin once — give every
                 # later calibration more headroom
                 cal_margin *= 2.0

@@ -272,7 +272,8 @@ def main() -> int:
                         if args.stage_videos else None),
             cal_margin=cal_margin,
         )
-        if stage_info["bin_overflow_final"]:
+        if (stage_info["bin_overflow_final"]
+                or stage_info["peel_overflow_final"]):
             cal_margin *= 2.0  # more headroom for later calibrations
         t_eval = time.monotonic()
         mse, psnr = evaluate_psnr(
