@@ -303,3 +303,42 @@ def test_raster_bin_overflow_diagnostic():
     assert bin_overflow(img[0], pix[0], pixel_chunk=128, n_cand=400) == 0
     # one-slot budget on a busy scene must overflow
     assert bin_overflow(img[0], pix[0], pixel_chunk=512, n_cand=1) > 0
+
+
+def test_hit_count_max_matches_peel():
+    """The k-calibration oracle: hit_count_max equals the count of
+    non-sentinel ids an unbounded peel returns, so any k >= it is exact."""
+    from deftet_tpu.render.raster import hit_count_max
+
+    pix, ranges, z, img, feat = _random_scene(4, f=300, p=400)
+    big_k = 64  # > any possible coverage for this scene
+    _, idx = deftet_sparse_render(
+        pix, ranges, z, img, feat, k=big_k, chunk=64
+    )
+    per_pixel = np.asarray((np.asarray(idx[0]) >= 0).sum(axis=-1))
+    assert per_pixel.max() < big_k  # oracle precondition
+    got = int(np.asarray(hit_count_max(
+        jnp.concatenate([pix[0], ranges[0]], axis=-1), z[0], img[0],
+        chunk=64,
+    )))
+    assert got == per_pixel.max()
+
+
+def test_peel_truncation_is_suffix():
+    """A smaller k returns exactly the first k layers of a larger k —
+    the invariant the adaptive peel depth (frame k_eff, training
+    calibrate_peel_k) relies on for bit-exactness when k >= max hits."""
+    pix, ranges, z, img, feat = _random_scene(5, f=300, p=200)
+    feat_big, idx_big = deftet_sparse_render(
+        pix, ranges, z, img, feat, k=32, chunk=64
+    )
+    feat_small, idx_small = deftet_sparse_render(
+        pix, ranges, z, img, feat, k=8, chunk=64
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx_big[..., :8]), np.asarray(idx_small)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat_big[..., :8, :]), np.asarray(feat_small),
+        atol=1e-6,
+    )
