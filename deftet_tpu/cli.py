@@ -156,6 +156,12 @@ def eval_main(argv=None) -> int:
                         "(reference eval.py:244 uses 100k; point-to-point "
                         "metrics are sampling-density-floored, so small "
                         "counts understate surface quality)")
+    parser.add_argument("--batch_size", type=int, default=0,
+                        help="override the eval batch size (0 = as "
+                        "trained).  The reference evals at batch 1 "
+                        "(eval.py:147); batch 1 makes the per-category "
+                        "tables exact instead of batch-majority "
+                        "attributed")
     args = parser.parse_args(argv)
 
     experiment = Experiment.load(args.experiment_path)
@@ -166,6 +172,8 @@ def eval_main(argv=None) -> int:
     )
     if args.res:
         config = _dc.replace(config, res=args.res)
+    if args.batch_size:
+        config = _dc.replace(config, batch_size=args.batch_size)
     engine = Engine(config, experiment=experiment)
     engine.restore(args.checkpoint)
 
@@ -239,6 +247,8 @@ def eval_main(argv=None) -> int:
     # A res override writes a suffixed report so the as-trained
     # result_update.json is never clobbered by diagnostic re-evals.
     suffix = f"_res{config.res}" if args.res else ""
+    if args.batch_size:
+        suffix += f"_b{args.batch_size}"
     with open(
         experiment.file_path(f"result_update{suffix}.json"), "w"
     ) as f:
