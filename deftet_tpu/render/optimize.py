@@ -522,7 +522,15 @@ def calibrate_bin_cand(
                 bin_overlap_max_np(face_img, grid[pick],
                                    cfg.bin_pixel_chunk),
             )
-    cand = -(-int(worst * margin) // 512) * 512
+    # Round UP coarsely: ``bin_cand`` is a static jit argument, so every
+    # distinct value is a separate executable (and a separate persistent-
+    # cache entry).  A 512 quantum let re-calibrations of the same scene
+    # land on near-identical budgets (16896 vs 15872) and recompile the
+    # whole render step for a 6% budget delta; a 4096 quantum above 8k
+    # costs <= 25% extra scan work but makes repeat calibrations
+    # executable-stable.
+    quantum = 4096 if worst * margin > 8192 else 512
+    cand = -(-int(worst * margin) // quantum) * quantum
     cand = max(cand, 2048)
     if cand >= f:
         return 0
