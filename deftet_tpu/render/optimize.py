@@ -793,7 +793,11 @@ def optimize_stage(
                 log(f"[{'mov' if gridmov else 'fix'}] deadline hit at "
                     f"step {i}/{steps}; ending stage early")
             break
-        if i > 0 and (i % cfg.delete_every == cfg.delete_every - 1):
+        if (i > 0 and (i % cfg.delete_every == cfg.delete_every - 1)
+                and i < steps - 1):
+            # i < steps-1: a carve on the stage's LAST step would pay a
+            # full re-jit (up to ~16 min on the remote service) for one
+            # remaining step; the next stage recalibrates anyway.
             carved = scene.carve(params, cfg.delete_threshold,
                                  neighbor_levels=cfg.carve_dilation)
             # Vertices drift via params['mov'] during the stage, so the
