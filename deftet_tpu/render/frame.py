@@ -163,6 +163,21 @@ def build_frame_bins(
     return out
 
 
+def _unpack_cand(cand_txc):
+    """Widen a uint16-packed candidate slab back to int32 with -1 pads.
+
+    Candidate ids are pure index data, and the axon tunnel moves h2d
+    bytes at single-digit MB/s — at sub-64k-face scenes (every carved
+    eval scene so far) packing the (T, budget) slab as uint16 with a
+    0xFFFF pad sentinel halves the dominant per-frame transfer.  The
+    widen runs in-jit (trace-time dtype dispatch), so device math is
+    identical to the int32 path."""
+    if cand_txc.dtype == jnp.uint16:
+        dead = cand_txc == jnp.uint16(0xFFFF)
+        return jnp.where(dead, jnp.int32(-1), cand_txc.astype(jnp.int32))
+    return cand_txc
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "lo", "hi"))
 def _bucket_count(
     pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2,
@@ -174,6 +189,7 @@ def _bucket_count(
     TPU (approx_max_k / top_k are the whole render cost), so every frame
     first counts its true per-pixel coverage with this (floor-speed)
     pass and then peels at the smallest exact k.  Returns (T,) int32."""
+    cand_txc = _unpack_cand(cand_txc)
     rng_2 = jnp.asarray([lo, hi], jnp.float32)
 
     def one(pix, cand):
@@ -201,6 +217,7 @@ def _bucket_render(
     tiles; each tile gathers its own candidates, scans them with the
     shared hit kernel, then replays + alpha-composites its own pixels.
     Returns (color (T, px, C-1), vis (T, px, 1))."""
+    cand_txc = _unpack_cand(cand_txc)
     rng_2 = jnp.asarray([lo, hi], jnp.float32)
     c_total = face_feat_fx3xc.shape[-1]
     eps = 1e-10
@@ -313,6 +330,20 @@ def dispatch_frame_binned(
     def pow2ceil(n):
         return 1 << (max(n, 1) - 1).bit_length()
 
+    def padceil(n):
+        # Slab tile-count quantization.  pow-2 everywhere would minimize
+        # executable count, but the boundary waste is up to 2x of the
+        # frame's ENTIRE scan+merge+transfer (a 264-tile 400^2 frame pads
+        # to 512); 64-multiples cap the waste at <64 tiles and the extra
+        # executables (a handful per scene family) are amortized by the
+        # persistent compilation cache.
+        return pow2ceil(n) if n <= 64 else -(-n // 64) * 64
+
+    # uint16 candidate packing: see _unpack_cand.  0xFFFF is reserved
+    # for the -1 pad sentinel, so require strictly fewer face ids.
+    n_faces_total = int(face_img_np.shape[0])
+    pack16 = n_faces_total < 0xFFFF
+
     # Slab cap: bound BOTH the live hit tile (T * cand candidate slots)
     # and the replay gather (T * px * k * 3 * (C+2) floats) to a few GB.
     replay_bytes_per_tile = px * k * 3 * (c_dim + 1 + 2) * 4
@@ -333,8 +364,8 @@ def dispatch_frame_binned(
         t_total = tile_ids.shape[0]
         s = 0
         while s < t_total:
-            t_s = min(max_slab, t_total - s, pow2ceil(t_total - s))
-            t_pad = min(pow2ceil(t_s), max_slab)
+            t_s = min(max_slab, t_total - s)
+            t_pad = min(padceil(t_s), max_slab)
             sl_ids = tile_ids[s: s + t_s]
             pix = grid[pix_idx[sl_ids]]                    # (t_s, px, 2)
             sl_cand = cand[s: s + t_s]
@@ -346,6 +377,10 @@ def dispatch_frame_binned(
                     [sl_cand,
                      np.full((t_pad - t_s, budget), -1, np.int32)]
                 )
+            if pack16:
+                sl_cand = np.where(
+                    sl_cand < 0, 0xFFFF, sl_cand
+                ).astype(np.uint16)
             pix_dev = jnp.asarray(pix)
             cand_dev = jnp.asarray(sl_cand)
             counts = _bucket_count(
@@ -371,6 +406,10 @@ def dispatch_frame_binned(
             face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
             chunk, k_eff, lo, hi,
         )  # (t_pad, px, C-1), (t_pad, px, 1) — device, async
+        if cc.shape[0] > t_s:
+            # drop pad rows ON DEVICE so resolve's d2h fetch (the other
+            # tunnel-bound leg) moves only real tiles
+            cc, vv = cc[:t_s], vv[:t_s]
         parts.append((lin, t_s, cc, vv))
     return PendingFrame(h, w, c_dim, parts)
 
