@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .raster import _edge, _hit_counts, _hit_topk_ids
+from .raster import _edge, _hit_counts, _hit_topk_ids_counted
 
 # host/device projections of the same face can differ by float rounding;
 # bboxes are expanded by this NDC margin so the host cull stays a
@@ -163,6 +163,25 @@ def build_frame_bins(
     return out
 
 
+# NDC pixel-center grids, memoized ON DEVICE per (h, w): per-slab pixel
+# coordinates are then shipped as (T, px) int32 linear indices (half the
+# bytes of f32 (T, px, 2) coords) and gathered in-jit from this cached
+# copy — bit-identical values, since the gather source IS the host grid.
+_GRID_DEV_CACHE: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+
+def _grid_dev(h: int, w: int) -> jnp.ndarray:
+    key = (h, w)
+    if key not in _GRID_DEV_CACHE:
+        xs = (np.arange(w) + 0.5) / w * 2.0 - 1.0
+        ys = -((np.arange(h) + 0.5) / h * 2.0 - 1.0)
+        grid = np.stack(
+            [np.tile(xs, h), np.repeat(ys, w)], axis=1
+        ).astype(np.float32)
+        _GRID_DEV_CACHE[key] = jnp.asarray(grid)
+    return _GRID_DEV_CACHE[key]
+
+
 def _unpack_cand(cand_txc):
     """Widen a uint16-packed candidate slab back to int32 with -1 pads.
 
@@ -180,7 +199,7 @@ def _unpack_cand(cand_txc):
 
 @functools.partial(jax.jit, static_argnames=("chunk", "lo", "hi"))
 def _bucket_count(
-    pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2,
+    lin_txpx, grid_hwx2, cand_txc, face_z_fx3, face_img_fx3x2,
     chunk: int, lo: float, hi: float,
 ):
     """Max per-pixel hit count per tile — the k-calibration pass.
@@ -192,7 +211,8 @@ def _bucket_count(
     cand_txc = _unpack_cand(cand_txc)
     rng_2 = jnp.asarray([lo, hi], jnp.float32)
 
-    def one(pix, cand):
+    def one(lin, cand):
+        pix = grid_hwx2[lin]
         safe = jnp.maximum(cand, 0)
         counts = _hit_counts(
             pix, jnp.broadcast_to(rng_2, pix.shape),
@@ -200,13 +220,13 @@ def _bucket_count(
         )
         return jnp.max(counts)
 
-    return jax.vmap(one)(pix_txpx2, cand_txc)
+    return jax.vmap(one)(lin_txpx, cand_txc)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "k", "lo", "hi"))
 def _bucket_render(
-    pix_txpx2, cand_txc, face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
-    chunk: int, k: int, lo: float, hi: float,
+    lin_txpx, grid_hwx2, cand_txc, face_z_fx3, face_img_fx3x2,
+    face_feat_fx3xc, chunk: int, k: int, lo: float, hi: float,
 ):
     """Fused hit + replay + composite for one budget bucket.
 
@@ -216,15 +236,16 @@ def _bucket_render(
     small-scene frames — BENCH_r04 frame_scene_mpix_s 0.03).  vmap over
     tiles; each tile gathers its own candidates, scans them with the
     shared hit kernel, then replays + alpha-composites its own pixels.
-    Returns (color (T, px, C-1), vis (T, px, 1))."""
+    Returns (color (T, px, C-1), vis (T, px, 1), max_hits (T,))."""
     cand_txc = _unpack_cand(cand_txc)
     rng_2 = jnp.asarray([lo, hi], jnp.float32)
     c_total = face_feat_fx3xc.shape[-1]
     eps = 1e-10
 
-    def one(pix, cand):
+    def one(lin, cand):
+        pix = grid_hwx2[lin]
         safe = jnp.maximum(cand, 0)
-        _, idx = _hit_topk_ids(
+        _, idx, n_hits = _hit_topk_ids_counted(
             pix, jnp.broadcast_to(rng_2, pix.shape),
             face_z_fx3[safe], face_img_fx3x2[safe], cand, chunk, k,
         )
@@ -271,9 +292,18 @@ def _bucket_render(
             ],
             axis=-1,
         )                                                # (px, C-1)
-        return color, out_vis
+        # exact per-tile max coverage — free audit riding the hit scan
+        # (counts all candidates independent of k; see
+        # _hit_topk_ids_counted), lets callers render at a HINTED small
+        # k and verify afterwards instead of paying a separate counting
+        # dispatch + sync per frame.
+        return color, out_vis, jnp.max(n_hits)
 
-    return jax.vmap(one)(pix_txpx2, cand_txc)
+    return jax.vmap(one)(lin_txpx, cand_txc)
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << (max(n, 1) - 1).bit_length()
 
 
 class PendingFrame:
@@ -283,17 +313,36 @@ class PendingFrame:
     scatter layout; ``resolve()`` fetches and assembles.  Keeping frames
     pending lets multi-view callers (PSNR eval, turntable export)
     overlap view i+1's host binning with view i's device work — jax's
-    async dispatch does the rest."""
+    async dispatch does the rest.
 
-    def __init__(self, h, w, c_dim, parts):
+    ``k_used`` is the peel depth the frame was rendered at.  When the
+    dispatch was optimistic (``k_hint``), ``resolve()`` first audits the
+    fused per-slab coverage maxima and transparently re-renders at the
+    exact depth if any pixel's true coverage exceeded the hint — output
+    is always identical to the unhinted path."""
+
+    def __init__(self, h, w, c_dim, parts, k_used, k_cap, redo=None):
         self._h, self._w, self._c = h, w, c_dim
-        self._parts = parts  # [(lin_idx, t_real, color_dev, vis_dev)]
+        self._parts = parts  # [(lin_idx, t_real, color, vis, maxhits)]
+        self.k_used = k_used
+        self._k_cap = k_cap
+        self._redo = redo  # (k_new) -> parts; None = k already exact
 
     def resolve(self) -> Tuple[np.ndarray, np.ndarray]:
+        parts = self._parts
+        if self._redo is not None:
+            mh = max(
+                (int(np.asarray(m).max()) for *_, m in parts), default=0
+            )
+            k_need = min(max(8, _pow2ceil(mh)), self._k_cap)
+            if k_need > self.k_used:
+                parts = self._parts = self._redo(k_need)
+                self.k_used = k_need
+            self._redo = None
         h, w, c_dim = self._h, self._w, self._c
         color = np.ones((h * w, c_dim), np.float32)  # white background
         vis = np.zeros((h * w, 1), np.float32)
-        for lin, t_real, cc, vv in self._parts:
+        for lin, t_real, cc, vv, _ in parts:
             color[lin] = np.asarray(cc)[:t_real].reshape(-1, c_dim)
             vis[lin] = np.asarray(vv)[:t_real].reshape(-1, 1)
         return color.reshape(h, w, c_dim), vis.reshape(h, w, 1)
@@ -310,17 +359,23 @@ def dispatch_frame_binned(
     chunk: int = 1024,
     tile: int = 16,
     z_range: Tuple[float, float] = (-1000.0, 0.0),
+    k_hint: int | None = None,
 ) -> PendingFrame:
     """Bin on host + dispatch every bucket slab; returns a PendingFrame
-    (fetch with ``.resolve()``).  See render_frame_binned."""
+    (fetch with ``.resolve()``).  See render_frame_binned.
+
+    ``k_hint`` (e.g. the previous view's ``PendingFrame.k_used``) skips
+    the separate counting dispatch + host sync and renders optimistically
+    at that depth; the fused coverage audit in ``resolve()`` re-renders
+    at the exact depth if the hint was too shallow, so the result is
+    always identical to the unhinted path.  Neighbouring views of one
+    scene share depth complexity, so steady-state multi-view evals pay
+    ONE fused dispatch per frame instead of count + sync + render."""
     c_dim = int(face_feat_fx3xc.shape[-1]) - 1
     pix_idx, _ = tile_pixel_layout(h, w, tile)
-    # NDC pixel centers, y up (same formula as optimize.pixel_grid)
-    xs = (np.arange(w) + 0.5) / w * 2.0 - 1.0
-    ys = -((np.arange(h) + 0.5) / h * 2.0 - 1.0)
-    grid = np.stack(
-        [np.tile(xs, h), np.repeat(ys, w)], axis=1
-    ).astype(np.float32)
+    # NDC pixel centers, y up (same formula as optimize.pixel_grid),
+    # resident on device once per (h, w) — slabs ship int32 indices.
+    grid_dev = _grid_dev(h, w)
 
     bins = build_frame_bins(face_img_np, h, w, tile)
 
@@ -348,12 +403,13 @@ def dispatch_frame_binned(
     # and the replay gather (T * px * k * 3 * (C+2) floats) to a few GB.
     replay_bytes_per_tile = px * k * 3 * (c_dim + 1 + 2) * 4
 
-    # Phase 1 — transfer each slab once and COUNT its true per-pixel
-    # coverage (floor-speed scan).  Phase 2 peels at the smallest exact
-    # k: k_eff = pow2ceil(max hits) capped at `k` — identical output (a
-    # larger k only adds sentinel slots; at the cap it truncates exactly
-    # like the fixed-k path), at a fraction of the top-k merge cost.
-    slabs = []  # (lin, t_real, pix_dev, cand_dev, counts_dev)
+    # Phase 1 — transfer each slab once and (when no k_hint) COUNT its
+    # true per-pixel coverage (floor-speed scan).  Phase 2 peels at the
+    # smallest exact k: k_eff = pow2ceil(max hits) capped at `k` —
+    # identical output (a larger k only adds sentinel slots; at the cap
+    # it truncates exactly like the fixed-k path), at a fraction of the
+    # top-k merge cost.
+    slabs = []  # (lin, t_real, lin_dev, cand_dev, counts_dev|None)
     for budget in sorted(bins):
         tile_ids, cand = bins[budget]
         max_slab = max(
@@ -367,11 +423,11 @@ def dispatch_frame_binned(
             t_s = min(max_slab, t_total - s)
             t_pad = min(padceil(t_s), max_slab)
             sl_ids = tile_ids[s: s + t_s]
-            pix = grid[pix_idx[sl_ids]]                    # (t_s, px, 2)
+            lin_rows = pix_idx[sl_ids]                     # (t_s, px)
             sl_cand = cand[s: s + t_s]
-            if t_pad != t_s:  # dummy tiles: no candidates, origin pixels
-                pix = np.concatenate(
-                    [pix, np.zeros((t_pad - t_s, px, 2), np.float32)]
+            if t_pad != t_s:  # dummy tiles: no candidates, pixel 0
+                lin_rows = np.concatenate(
+                    [lin_rows, np.zeros((t_pad - t_s, px), np.int32)]
                 )
                 sl_cand = np.concatenate(
                     [sl_cand,
@@ -381,37 +437,47 @@ def dispatch_frame_binned(
                 sl_cand = np.where(
                     sl_cand < 0, 0xFFFF, sl_cand
                 ).astype(np.uint16)
-            pix_dev = jnp.asarray(pix)
+            lin_dev = jnp.asarray(lin_rows)
             cand_dev = jnp.asarray(sl_cand)
-            counts = _bucket_count(
-                pix_dev, cand_dev, face_z_fx3, face_img_fx3x2,
-                chunk, lo, hi,
-            )
+            counts = None
+            if k_hint is None:
+                counts = _bucket_count(
+                    lin_dev, grid_dev, cand_dev, face_z_fx3,
+                    face_img_fx3x2, chunk, lo, hi,
+                )
             lin = pix_idx[sl_ids].reshape(-1)
-            slabs.append((lin, t_s, pix_dev, cand_dev, counts))
+            slabs.append((lin, t_s, lin_dev, cand_dev, counts))
             s += t_s
 
-    # np.asarray fetch (NOT an eager jnp.max — every eager op is a
-    # dispatch round-trip on the remote backend)
-    max_hits = max(
-        (int(np.asarray(c).max()) for *_, c in slabs), default=0
-    )
-    k_eff = max(8, pow2ceil(max(max_hits, 1)))
-    k_eff = min(k_eff, k)
+    def render_parts(k_eff):
+        parts = []
+        for lin, t_s, lin_dev, cand_dev, _ in slabs:
+            cc, vv, mh = _bucket_render(
+                lin_dev, grid_dev, cand_dev,
+                face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
+                chunk, k_eff, lo, hi,
+            )  # (t_pad, px, C-1), (t_pad, px, 1), (t_pad,) — async
+            if cc.shape[0] > t_s:
+                # drop pad rows ON DEVICE so resolve's d2h fetch (the
+                # other tunnel-bound leg) moves only real tiles
+                cc, vv, mh = cc[:t_s], vv[:t_s], mh[:t_s]
+            parts.append((lin, t_s, cc, vv, mh))
+        return parts
 
-    parts = []
-    for lin, t_s, pix_dev, cand_dev, _ in slabs:
-        cc, vv = _bucket_render(
-            pix_dev, cand_dev,
-            face_z_fx3, face_img_fx3x2, face_feat_fx3xc,
-            chunk, k_eff, lo, hi,
-        )  # (t_pad, px, C-1), (t_pad, px, 1) — device, async
-        if cc.shape[0] > t_s:
-            # drop pad rows ON DEVICE so resolve's d2h fetch (the other
-            # tunnel-bound leg) moves only real tiles
-            cc, vv = cc[:t_s], vv[:t_s]
-        parts.append((lin, t_s, cc, vv))
-    return PendingFrame(h, w, c_dim, parts)
+    if k_hint is None:
+        # np.asarray fetch (NOT an eager jnp.max — every eager op is a
+        # dispatch round-trip on the remote backend)
+        max_hits = max(
+            (int(np.asarray(c).max()) for *_, c in slabs), default=0
+        )
+        k_eff = min(max(8, pow2ceil(max(max_hits, 1))), k)
+        return PendingFrame(
+            h, w, c_dim, render_parts(k_eff), k_eff, k, redo=None
+        )
+    k_eff = min(max(8, pow2ceil(k_hint)), k)
+    return PendingFrame(
+        h, w, c_dim, render_parts(k_eff), k_eff, k, redo=render_parts
+    )
 
 
 def render_frame_binned(

@@ -942,11 +942,17 @@ def dispatch_full_image(
     hwf,
     cfg: RenderOptConfig,
     pix_chunk: int = 0,
+    k_hint: int | None = None,
 ):
     """Dispatch a full-frame render; returns an object with
     ``.resolve() -> (color, vis)``.  On the host-binned frame path the
     device work is queued asynchronously, so multi-view callers can
-    overlap view i+1's host binning with view i's device render."""
+    overlap view i+1's host binning with view i's device render.
+
+    ``k_hint`` (a previous view's ``.k_used``) lets the binned path skip
+    its per-frame counting dispatch + sync; resolve() audits the fused
+    coverage counts and re-renders if the hint was too shallow (output
+    identical either way)."""
     h, w, focal = hwf
     pix_chunk = pix_chunk or cfg.eval_pix_chunk
     rot, pos, proj = camera_from_blender(pose_4x4, focal, h, w)
@@ -964,6 +970,7 @@ def dispatch_full_image(
         return dispatch_frame_binned(
             face_z, face_img, face_feat, face_img_np, h, w,
             k=cfg.k, chunk=cfg.raster_chunk, tile=cfg.frame_tile,
+            k_hint=k_hint,
         )
     return _ReadyFrame(
         _render_full_image_chunked(
@@ -1023,11 +1030,16 @@ def evaluate_psnr(
     """Mean test MSE + PSNR (optim...py:330-384)."""
     gt_color, _ = _white_composite(images)
     # dispatch every view first (device renders pipeline behind the
-    # host binning of later views), then fetch
-    pending = [
-        dispatch_full_image(scene, params, poses[i], hwf, cfg)
-        for i in i_test
-    ]
+    # host binning of later views), then fetch.  View 0 calibrates the
+    # peel depth; later views reuse it as an audited k_hint (one fused
+    # dispatch each instead of count + sync + render).
+    pending, hint = [], None
+    for i in i_test:
+        pf = dispatch_full_image(
+            scene, params, poses[i], hwf, cfg, k_hint=hint
+        )
+        hint = getattr(pf, "k_used", None)
+        pending.append(pf)
     mses = [
         float(np.mean((p.resolve()[0] - gt_color[i]) ** 2))
         for p, i in zip(pending, i_test)
@@ -1080,13 +1092,15 @@ def export_turntable(
     """Render a circular camera path and write it as a video — mp4 or
     GIF by extension (the video export of optim...py:330-384).  Returns
     the frame array (N, H, W, 3) uint8."""
-    pending = [
-        dispatch_full_image(
+    pending, hint = [], None
+    for i in range(n_frames):
+        pf = dispatch_full_image(
             scene, params, pose_spherical(360.0 * i / n_frames, phi,
-                                          radius), hwf, cfg
+                                          radius), hwf, cfg,
+            k_hint=hint,
         )
-        for i in range(n_frames)
-    ]
+        hint = getattr(pf, "k_used", None)
+        pending.append(pf)
     frames = np.stack(
         [
             (np.clip(p.resolve()[0], 0.0, 1.0) * 255).astype(np.uint8)

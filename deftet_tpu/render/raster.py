@@ -135,6 +135,56 @@ def _hit_topk_ids(
     return best_z, best_i
 
 
+def _hit_topk_ids_counted(
+    pix_px2, range_px2, face_z_fx3, face_img_fx3x2, face_id_f,
+    chunk: int, k: int
+):
+    """`_hit_topk_ids` that ALSO returns the exact per-pixel hit count.
+
+    The count rides the same chunked scan (one integer sum per chunk —
+    fused, no extra memory pass), and is exact regardless of ``k``:
+    callers can render optimistically at a small hinted k and check
+    afterwards whether any pixel's true coverage exceeded it (the
+    adaptive-peel audit without a separate counting dispatch).
+    Returns (best_z (P, k), best_i (P, k), counts (P,) int32)."""
+    z_pad, _ = pad_axis(face_z_fx3, 0, chunk, 0.0)
+    img_pad, _ = pad_axis(face_img_fx3x2, 0, chunk, 0.0)
+    id_pad, _ = pad_axis(face_id_f, 0, chunk, -1)
+    p = pix_px2.shape[0]
+
+    init = (
+        jnp.full((p, k), _NEG, dtype=jnp.float32),
+        jnp.full((p, k), -1, dtype=jnp.int32),
+        jnp.zeros((p,), jnp.int32),
+    )
+
+    def body(carry, chunk_items, start):
+        del start
+        best_z, best_i, cnt = carry
+        zc, imgc, idc = chunk_items
+        w0, w1, w2 = barycentric_2d(
+            pix_px2[:, None, :], imgc[None, :, :, :]
+        )
+        inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+        z = (
+            w0 * zc[None, :, 0] + w1 * zc[None, :, 1] + w2 * zc[None, :, 2]
+        )
+        ids = jnp.broadcast_to(idc[None, :], z.shape)
+        in_range = (z >= range_px2[:, :1]) & (z <= range_px2[:, 1:2])
+        ok = inside & in_range & (ids >= 0)
+        z = jnp.where(ok, z, _NEG)
+        ids = jnp.where(ok, ids, -1)
+        all_z = jnp.concatenate([best_z, z], axis=1)
+        all_i = jnp.concatenate([best_i, ids], axis=1)
+        top_z, pos = _topk_desc(all_z, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_z, top_i, cnt + jnp.sum(ok.astype(jnp.int32), axis=1)
+
+    return chunked_scan_reduce(
+        (z_pad, img_pad, id_pad), init, body, chunk
+    )
+
+
 def _hit_counts(
     pix_px2, range_px2, face_z_fx3, face_img_fx3x2, face_id_f, chunk: int
 ):

@@ -116,3 +116,54 @@ def test_frame_path_nondivisible_frame():
     c_ref, m_ref = render_full_image(scene, params, pose, hwf, cfg_ref)
     np.testing.assert_allclose(c_new, c_ref, atol=2e-5)
     np.testing.assert_allclose(m_new, m_ref, atol=2e-5)
+
+
+def test_frame_k_hint_audited_exact():
+    """Optimistic-k dispatch: a too-shallow hint is caught by the fused
+    coverage audit and transparently re-rendered; an adequate hint skips
+    the counting pass.  Both must be bit-identical to the unhinted path."""
+    import dataclasses
+
+    from deftet_tpu.render.optimize import dispatch_full_image
+
+    grid = build_tet_grid(5)
+    scene = TetScene.from_grid(grid, coef=2.5)
+    params = scene.init_params()
+    rng = np.random.default_rng(7)
+    params = {
+        "mov": jnp.asarray(
+            rng.normal(0, 0.02, params["mov"].shape).astype(np.float32)),
+        "feat": jnp.asarray(
+            rng.normal(0, 2.0, params["feat"].shape).astype(np.float32)),
+    }
+    h = w = 48
+    focal = 0.5 * w / np.tan(0.5 * 0.69)
+    from deftet_tpu.render.camera import pose_spherical
+
+    pose = pose_spherical(30.0, -25.0, 4.0)
+    hwf = (h, w, focal)
+    base = RenderOptConfig(k=64, raster_chunk=256, seed=0)
+    cfg = dataclasses.replace(base, frame_tile=16, frame_min_faces=1)
+
+    pf_ref = dispatch_full_image(scene, params, pose, hwf, cfg)
+    c_ref, m_ref = pf_ref.resolve()
+    assert m_ref.max() > 0.5
+    # the unhinted path calibrated a depth below the cap (scene stacks
+    # more than 8 layers somewhere, so the shallow-hint case is real)
+    assert 8 < pf_ref.k_used <= 64
+
+    # adequate hint: no redo, same output
+    pf_ok = dispatch_full_image(
+        scene, params, pose, hwf, cfg, k_hint=pf_ref.k_used
+    )
+    c_ok, m_ok = pf_ok.resolve()
+    assert pf_ok.k_used == pf_ref.k_used
+    np.testing.assert_array_equal(c_ok, c_ref)
+    np.testing.assert_array_equal(m_ok, m_ref)
+
+    # too-shallow hint: audit must trigger a redo at the exact depth
+    pf_lo = dispatch_full_image(scene, params, pose, hwf, cfg, k_hint=1)
+    c_lo, m_lo = pf_lo.resolve()
+    assert pf_lo.k_used == pf_ref.k_used  # audited back up
+    np.testing.assert_array_equal(c_lo, c_ref)
+    np.testing.assert_array_equal(m_lo, m_ref)
